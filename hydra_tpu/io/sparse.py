@@ -1,0 +1,154 @@
+"""hydra sparse-genotype file format (reader + writer + converters).
+
+File-format-compatible with the reference's 9-file representation
+(write_sparse_data_files BayesRRm.cpp:437-770; load_data_from_sparse_files
+data.cpp:742-823):
+
+    basename.ss{1,2,m}  per-marker start offsets   (uint64, Mtot entries)
+    basename.sl{1,2,m}  per-marker element counts  (uint64, Mtot entries)
+    basename.si{1,2,m}  individual indices         (uint32, concatenated)
+    basename.dim        text "N M"
+
+Index lists hold the individuals whose genotype is 1 ("1"), 2 ("2") or
+missing ("m"); zeros are implicit.
+
+On TPU the compute representation is packed BED bytes in HBM, so the sparse
+format exists for interchange with reference deployments: `read_sparse_files`
++ `sparse_to_packed_bed` rebuild the packed representation, and
+`write_sparse_files` implements the `--bed-to-sparse` converter (C6).
+The mixed BED/sparse representation (C7, --threshold-fnz) is intentionally
+subsumed: dense LUT decode from packed bytes is bandwidth-optimal on TPU,
+making the per-marker representation switch unnecessary (numerics identical).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from hydra_tpu.io.plink import (
+    MISSING_CODE,
+    bed_bytes_per_marker,
+    decode_bed_numpy,
+    read_bed,
+)
+
+
+@dataclass
+class SparseGenotypes:
+    n: int
+    m: int
+    s1: np.ndarray  # starts, uint64 (local to this slice)
+    l1: np.ndarray  # lengths, uint64
+    i1: np.ndarray  # indices, uint32
+    s2: np.ndarray
+    l2: np.ndarray
+    i2: np.ndarray
+    sm: np.ndarray
+    lm: np.ndarray
+    im: np.ndarray
+
+
+def write_sparse_files(
+    bed_path: str,
+    n: int,
+    m: int,
+    out_basename: str,
+    block_size: int = 8192,
+) -> None:
+    """Convert a .bed to the 9-file sparse representation (--bed-to-sparse).
+
+    Streaming two-pass-free equivalent of write_sparse_data_files
+    (BayesRRm.cpp:437-770): processes markers in blocks, appending index data
+    and accumulating global offsets.
+    """
+    files = {}
+    for tag in ("1", "2", "m"):
+        files[f"si{tag}"] = open(out_basename + f".si{tag}", "wb")
+    starts = {"1": [], "2": [], "m": []}
+    lengths = {"1": [], "2": [], "m": []}
+    offs = {"1": 0, "2": 0, "m": 0}
+    try:
+        for blk_start in range(0, m, block_size):
+            blk = min(block_size, m - blk_start)
+            packed = read_bed(bed_path, n, m, blk_start, blk)
+            geno, mask = decode_bed_numpy(packed, n)
+            for tag, sel in (
+                ("1", (geno == 1.0) & (mask == 1.0)),
+                ("2", (geno == 2.0) & (mask == 1.0)),
+                ("m", mask == 0.0),
+            ):
+                for j in range(blk):
+                    idx = np.nonzero(sel[j])[0].astype(np.uint32)
+                    files[f"si{tag}"].write(idx.tobytes())
+                    starts[tag].append(offs[tag])
+                    lengths[tag].append(len(idx))
+                    offs[tag] += len(idx)
+    finally:
+        for fh in files.values():
+            fh.close()
+    for tag in ("1", "2", "m"):
+        np.asarray(starts[tag], dtype=np.uint64).tofile(out_basename + f".ss{tag}")
+        np.asarray(lengths[tag], dtype=np.uint64).tofile(out_basename + f".sl{tag}")
+    with open(out_basename + ".dim", "w") as fh:
+        fh.write(f"{n} {m}\n")
+
+
+def read_sparse_files(
+    basename: str,
+    marker_start: int = 0,
+    marker_count: Optional[int] = None,
+) -> SparseGenotypes:
+    """Read a marker slice from sparse files (data.cpp:742-823, :1072-1106)."""
+    with open(basename + ".dim") as fh:
+        parts = fh.read().split()
+    n, m = int(parts[0]), int(parts[1])
+    if marker_count is None:
+        marker_count = m - marker_start
+
+    def load(tag: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ss = np.fromfile(
+            basename + f".ss{tag}", dtype=np.uint64, count=marker_count,
+            offset=marker_start * 8,
+        )
+        sl = np.fromfile(
+            basename + f".sl{tag}", dtype=np.uint64, count=marker_count,
+            offset=marker_start * 8,
+        )
+        n_elem = int(ss[-1] + sl[-1] - ss[0]) if marker_count > 0 else 0
+        si = np.fromfile(
+            basename + f".si{tag}", dtype=np.uint32, count=n_elem,
+            offset=int(ss[0]) * 4,
+        )
+        return ss - ss[0] if marker_count > 0 else ss, sl, si
+
+    s1, l1, i1 = load("1")
+    s2, l2, i2 = load("2")
+    sm, lm, im = load("m")
+    return SparseGenotypes(n, marker_count, s1, l1, i1, s2, l2, i2, sm, lm, im)
+
+
+def sparse_to_packed_bed(sp: SparseGenotypes) -> np.ndarray:
+    """Rebuild packed BED bytes from sparse index lists.
+
+    Inverse of the decode; equivalent role to get_bed_marker_from_sparse
+    (data.cpp:826-865). Codes: 0->0b11, 1->0b10, 2->0b00, missing->0b01.
+    """
+    m, n = sp.m, sp.n
+    codes = np.full((m, n), 0b11, dtype=np.uint8)  # default genotype 0
+    for j in range(m):
+        codes[j, sp.i1[int(sp.s1[j]): int(sp.s1[j] + sp.l1[j])]] = 0b10
+        codes[j, sp.i2[int(sp.s2[j]): int(sp.s2[j] + sp.l2[j])]] = 0b00
+        codes[j, sp.im[int(sp.sm[j]): int(sp.sm[j] + sp.lm[j])]] = MISSING_CODE
+    nbytes = bed_bytes_per_marker(n)
+    padded = np.full((m, nbytes * 4), MISSING_CODE, dtype=np.uint8)
+    padded[:, :n] = codes
+    return (
+        padded[:, 0::4]
+        | (padded[:, 1::4] << 2)
+        | (padded[:, 2::4] << 4)
+        | (padded[:, 3::4] << 6)
+    ).astype(np.uint8)

@@ -1,0 +1,269 @@
+"""Run configuration for hydra_tpu.
+
+Mirrors the reference's CLI surface (src/options.hpp:20-138, src/options.cpp:5-397)
+as a dataclass + argparse front-end, including the `--inp-file` key-value option
+file (options.cpp:335-397). Flag names are kept identical where they exist in the
+reference so scripts can be moved over unchanged; TPU-specific knobs are added
+under the same style.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Options:
+    # --- analysis selection (options.hpp:62-64, main.cpp:47-177) ---
+    analysis_type: str = "RAM"           # reference: analysisType ("RAM" for MPI runs)
+    bayes_type: str = ""                 # bayesMPI | bayesWMPI | bayesFHMPI
+    bed_to_sparse: bool = False          # --bed-to-sparse (C6 converter)
+    blocks_per_rank: int = 1             # --blocks-per-rank
+    check_ram: bool = False              # --check-RAM
+    check_ram_tasks: int = 0             # --check-RAM-tasks
+    check_ram_tpn: int = 0               # --check-RAM-tasks-per-node
+
+    # --- inputs (options.hpp:66-79) ---
+    bed_file: str = ""                   # --bfile (basename without .bed)
+    phenotype_files: List[str] = field(default_factory=list)  # --pheno (comma-sep)
+    failure_file: str = ""               # --failure (BayesW)
+    covariates_file: str = ""            # --covariates
+    covariates: bool = False
+    group_index_file: str = ""           # --groupIndexFile
+    group_mixture_file: str = ""         # --groupMixtureFile
+    priors_file: str = ""                # --groupPriorsFile
+    d_priors_file: str = ""              # --dPriorsFile
+    marker_blocks_file: str = ""         # --marker-blocks-file
+    sparse_dir: str = ""                 # --sparse-dir
+    sparse_basename: str = ""            # --sparse-basename
+    number_markers: int = 0              # --number-markers
+    number_individuals: int = 0          # --number-individuals
+    read_from_bed_file: bool = False
+    read_from_sparse_files: bool = False
+    mixed_representation: bool = False
+    threshold_fnz: float = 0.06          # --threshold-fnz (options.hpp:86)
+
+    # --- chain control (options.hpp:101-127 defaults) ---
+    chain_length: int = 10000            # --chain-length
+    burnin: int = 5000                   # --burn-in
+    seed: int = 0                        # --seed (default: time(0), options.hpp:104)
+    thin: int = 5                        # --thin
+    save: int = 10                       # --save
+    S: List[float] = field(default_factory=lambda: [0.01, 0.001, 0.0001])  # --S
+    shuffle_markers: int = 1             # --shuf-mark
+    sync_rate: int = 1                   # --sync-rate (options.cpp:213-216)
+    sparse_sync: bool = False            # --sparse-sync (accepted; dense psum used on TPU)
+    bed_sync: bool = False               # --bed-sync   (accepted; dense psum used on TPU)
+
+    # --- outputs (options.hpp:73-75) ---
+    mcmc_out_dir: str = ""               # --mcmc-out-dir
+    mcmc_out_name: str = "default_output_name"  # --mcmc-out-name
+    restart: bool = False                # --restart
+    use_xfiles_in_restart: bool = True   # negated by --ignore-xfiles
+
+    # --- BayesW (options.hpp:57-58) ---
+    quad_points: str = "25"              # --quad_points (3..25, adaptive G-H)
+
+    # --- FH hyperpriors (options.hpp:89-96) ---
+    beta_a: float = 1.0                  # --betaA
+    beta_b: float = 1.0                  # --betaB
+    tau0: float = 1.0                    # --tau0
+    s02c: float = 1.0                    # --s02c
+    v0c: float = 3.0                     # --v0c
+    v0L: float = 3.0                     # --v0L
+    v0t: float = 3.0                     # --v0t
+
+    # --- multi-trait ---
+    multi_phen: bool = False             # set when --pheno has >1 file
+    interleave: bool = False             # --interleave-phenotypes
+
+    # --- TPU-specific (no reference equivalent) ---
+    window: int = 0                      # marker-window batch size; 0 → = sync_rate
+    exact: bool = True                   # Gram-corrected exact sequential semantics
+    n_devices: int = 0                   # 0 → all visible devices
+    dtype: str = "float32"               # accumulation dtype
+
+    @property
+    def mcmc_out(self) -> str:
+        if self.mcmc_out_dir:
+            return os.path.join(self.mcmc_out_dir, self.mcmc_out_name)
+        return self.mcmc_out_name
+
+    @property
+    def num_mixtures(self) -> int:
+        return len(self.S) + 1
+
+    def validate(self) -> "Options":
+        """Post-parse validation mirroring options.cpp:160-230 + BayesRRm.cpp:1056-1066."""
+        if self.seed == 0:
+            self.seed = int(time.time())
+        # save must be >= thin and a multiple of thin (BayesRRm.cpp:1058-1066)
+        if self.save < self.thin:
+            self.save = self.thin
+        if self.save % self.thin != 0:
+            self.save = (self.save // self.thin) * self.thin
+        if (self.group_index_file == "") != (self.group_mixture_file == ""):
+            raise ValueError(
+                "you need to activate both --groupIndexFile and --groupMixtureFile"
+            )  # main.cpp:147-149
+        if bool(self.sparse_dir) != bool(self.sparse_basename):
+            raise ValueError(
+                "--sparse-dir and --sparse-basename must either be both set or unset"
+            )  # options.cpp:192
+        if self.window <= 0:
+            self.window = max(1, self.sync_rate)
+        if self.mcmc_out_dir:
+            os.makedirs(self.mcmc_out_dir, exist_ok=True)
+            os.makedirs(os.path.join(self.mcmc_out_dir, "tarballs"), exist_ok=True)
+        return self
+
+
+def _read_option_file(path: str) -> List[str]:
+    """Parse the reference's key-value option file into argv tokens.
+
+    Format (options.cpp:335-397): one `key value` pair per line, keys without
+    leading dashes; lines starting with '#' ignored.
+    """
+    argv: List[str] = []
+    with open(path) as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 1)
+            key = parts[0]
+            if not key.startswith("--"):
+                key = "--" + key
+            argv.append(key)
+            if len(parts) > 1 and parts[1].strip():
+                argv.append(parts[1].strip())
+    return argv
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hydra-tpu",
+        description="TPU-native Bayesian whole-genome regression (hydra rebuild)",
+    )
+    a = p.add_argument
+    a("--inp-file", default="", help="key-value option file (options.cpp:335)")
+    a("--mpibayes", "--bayes", dest="bayes_type", default="",
+      help="bayesMPI | bayesWMPI | bayesFHMPI")
+    a("--bfile", dest="bed_file", default="")
+    a("--pheno", dest="pheno", default="", help="phenotype file(s), comma-separated")
+    a("--failure", dest="failure_file", default="")
+    a("--covariates", dest="covariates_file", default="")
+    a("--groupIndexFile", dest="group_index_file", default="")
+    a("--groupMixtureFile", dest="group_mixture_file", default="")
+    a("--group", dest="group_index_file_legacy", default="")
+    a("--mS", dest="group_mixture_file_legacy", default="")
+    a("--groupPriorsFile", dest="priors_file", default="")
+    a("--dPriorsFile", dest="d_priors_file", default="")
+    a("--marker-blocks-file", dest="marker_blocks_file", default="")
+    a("--sparse-dir", dest="sparse_dir", default="")
+    a("--sparse-basename", dest="sparse_basename", default="")
+    a("--number-markers", dest="number_markers", type=int, default=0)
+    a("--number-individuals", dest="number_individuals", type=int, default=0)
+    a("--bed-to-sparse", action="store_true", dest="bed_to_sparse")
+    a("--blocks-per-rank", dest="blocks_per_rank", type=int, default=1)
+    a("--check-RAM", action="store_true", dest="check_ram")
+    a("--check-RAM-tasks", dest="check_ram_tasks", type=int, default=0)
+    a("--check-RAM-tasks-per-node", dest="check_ram_tpn", type=int, default=0)
+    a("--threshold-fnz", dest="threshold_fnz", type=float, default=0.06)
+    a("--chain-length", dest="chain_length", type=int, default=10000)
+    a("--burn-in", dest="burnin", type=int, default=5000)
+    a("--seed", dest="seed", type=int, default=0)
+    a("--thin", dest="thin", type=int, default=5)
+    a("--save", dest="save", type=int, default=10)
+    a("--S", dest="S", default="0.01,0.001,0.0001")
+    a("--shuf-mark", dest="shuffle_markers", type=int, default=1)
+    a("--sync-rate", dest="sync_rate", type=int, default=1)
+    a("--sparse-sync", action="store_true", dest="sparse_sync")
+    a("--bed-sync", action="store_true", dest="bed_sync")
+    a("--mcmc-out-dir", dest="mcmc_out_dir", default="")
+    a("--mcmc-out-name", dest="mcmc_out_name", default="default_output_name")
+    a("--restart", action="store_true", dest="restart")
+    a("--ignore-xfiles", action="store_true", dest="ignore_xfiles")
+    a("--quad_points", dest="quad_points", default="25")
+    a("--betaA", dest="beta_a", type=float, default=1.0)
+    a("--betaB", dest="beta_b", type=float, default=1.0)
+    a("--tau0", dest="tau0", type=float, default=1.0)
+    a("--s02c", dest="s02c", type=float, default=1.0)
+    a("--v0c", dest="v0c", type=float, default=3.0)
+    a("--v0L", dest="v0L", type=float, default=3.0)
+    a("--v0t", dest="v0t", type=float, default=3.0)
+    a("--interleave-phenotypes", action="store_true", dest="interleave")
+    # TPU-specific
+    a("--window", dest="window", type=int, default=0)
+    a("--stale", action="store_true", dest="stale",
+      help="use stale-window semantics instead of exact Gram-corrected Gibbs")
+    a("--n-devices", dest="n_devices", type=int, default=0)
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Options:
+    parser = build_parser()
+    ns, _unknown = parser.parse_known_args(argv)
+    if ns.inp_file:
+        file_argv = _read_option_file(ns.inp_file)
+        ns, _unknown = parser.parse_known_args(file_argv + (argv or []))
+
+    opt = Options()
+    opt.bayes_type = ns.bayes_type
+    opt.bed_file = ns.bed_file
+    opt.phenotype_files = [s for s in ns.pheno.split(",") if s] if ns.pheno else []
+    opt.multi_phen = len(opt.phenotype_files) > 1
+    opt.failure_file = ns.failure_file
+    opt.covariates_file = ns.covariates_file
+    opt.covariates = bool(ns.covariates_file)
+    opt.group_index_file = ns.group_index_file or ns.group_index_file_legacy
+    opt.group_mixture_file = ns.group_mixture_file or ns.group_mixture_file_legacy
+    opt.priors_file = ns.priors_file
+    opt.d_priors_file = ns.d_priors_file
+    opt.marker_blocks_file = ns.marker_blocks_file
+    opt.sparse_dir = ns.sparse_dir
+    opt.sparse_basename = ns.sparse_basename
+    opt.number_markers = ns.number_markers
+    opt.number_individuals = ns.number_individuals
+    opt.bed_to_sparse = ns.bed_to_sparse
+    opt.blocks_per_rank = ns.blocks_per_rank
+    opt.check_ram = ns.check_ram
+    opt.check_ram_tasks = ns.check_ram_tasks
+    opt.check_ram_tpn = ns.check_ram_tpn
+    opt.threshold_fnz = ns.threshold_fnz
+    opt.chain_length = ns.chain_length
+    opt.burnin = ns.burnin
+    opt.seed = ns.seed
+    opt.thin = ns.thin
+    opt.save = ns.save
+    opt.S = [float(s) for s in str(ns.S).split(",") if s]
+    opt.shuffle_markers = ns.shuffle_markers
+    opt.sync_rate = ns.sync_rate
+    opt.sparse_sync = ns.sparse_sync
+    opt.bed_sync = ns.bed_sync
+    opt.mcmc_out_dir = ns.mcmc_out_dir
+    opt.mcmc_out_name = ns.mcmc_out_name
+    opt.restart = ns.restart
+    opt.use_xfiles_in_restart = not ns.ignore_xfiles
+    opt.quad_points = ns.quad_points
+    opt.beta_a = ns.beta_a
+    opt.beta_b = ns.beta_b
+    opt.tau0 = ns.tau0
+    opt.s02c = ns.s02c
+    opt.v0c = ns.v0c
+    opt.v0L = ns.v0L
+    opt.v0t = ns.v0t
+    opt.interleave = ns.interleave
+    opt.window = ns.window
+    opt.exact = not ns.stale
+    opt.n_devices = ns.n_devices
+    # read-source selection (main.cpp:67-136): bed if --bfile, sparse if --sparse-dir
+    opt.read_from_bed_file = bool(opt.bed_file)
+    opt.read_from_sparse_files = bool(opt.sparse_dir)
+    opt.mixed_representation = opt.read_from_bed_file and opt.read_from_sparse_files
+    return opt.validate()
