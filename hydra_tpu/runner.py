@@ -1,0 +1,134 @@
+"""Chain runner: wires Options -> Dataset -> sampler -> writers/restart.
+
+Equivalent of the orchestration in main.cpp:47-177 plus the in-sampler output
+blocks (BayesRRm.cpp:2736-2877). The Gibbs sweep runs on device; thin/save
+boundaries pull state to host and append to the hydra-format files.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from hydra_tpu.data.genotypes import Dataset, load_dataset
+from hydra_tpu.io import groups as groups_io
+from hydra_tpu.io import pheno as pheno_io
+from hydra_tpu.options import Options
+from hydra_tpu.outputs.restart import read_restart
+from hydra_tpu.outputs.writers import McmcWriter
+from hydra_tpu.samplers.bayesrrm import BayesRRm
+
+
+def dataset_from_options(opt: Options) -> Dataset:
+    """Input dispatch mirroring main.cpp:60-157."""
+    n, m = opt.number_individuals, opt.number_markers
+    if opt.read_from_bed_file and (n == 0 or m == 0):
+        from hydra_tpu.io import plink
+        n = plink.read_fam(opt.bed_file + ".fam").n
+        m = plink.read_bim(opt.bed_file + ".bim").m
+
+    is_bw = opt.bayes_type == "bayesWMPI"
+    phen = opt.phenotype_files[0]
+    if opt.covariates and is_bw:
+        ph = pheno_io.read_phen_fail_cov_files(
+            phen, opt.covariates_file, opt.failure_file, n)
+    elif opt.covariates:
+        ph = pheno_io.read_phen_cov_files(phen, opt.covariates_file, n)
+    elif is_bw:
+        ph = pheno_io.read_phen_fail_files(phen, opt.failure_file, n)
+    else:
+        ph = pheno_io.read_phenotype_file(phen, expected_n=n if n else None)
+
+    grp = mS = None
+    if opt.group_index_file:
+        grp = groups_io.read_group_file(opt.group_index_file)
+        mS = groups_io.read_ms_file(opt.group_mixture_file)
+    priors = groups_io.read_group_priors(opt.priors_file) if opt.priors_file else None
+    d_priors = (groups_io.read_dirichlet_priors(opt.d_priors_file)
+                if opt.d_priors_file else None)
+    blocks = (groups_io.read_marker_blocks_file(opt.marker_blocks_file)
+              if opt.marker_blocks_file else None)
+
+    return load_dataset(
+        bed_basename=opt.bed_file if opt.read_from_bed_file else "",
+        sparse_basename=(opt.sparse_dir + "/" + opt.sparse_basename
+                         if opt.read_from_sparse_files else ""),
+        pheno=ph, n=n, m=m, groups=grp, mS=mS, S=opt.S,
+        priors=priors, d_priors=d_priors, blocks=blocks,
+    )
+
+
+def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
+                 verbose: bool = True) -> dict:
+    """Full BayesRRm/FH chain with hydra-format outputs and restart."""
+    ds = dataset if dataset is not None else dataset_from_options(opt)
+    fh = opt.bayes_type == "bayesFHMPI"
+    sampler = BayesRRm(
+        ds, window=opt.window, exact=opt.exact, fh=fh,
+        shuffle=bool(opt.shuffle_markers), seed=opt.seed,
+        n_devices=opt.n_devices,
+        fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
+                       s02c=opt.s02c, tau0=opt.tau0))
+
+    mcmc_out = opt.mcmc_out
+    start_it = 0
+    if opt.restart:
+        rd = read_restart(mcmc_out, ds.m, ds.n, opt.save,
+                          use_xfiles=opt.use_xfiles_in_restart,
+                          covariates=opt.covariates)
+        state = sampler.init_state_from_restart(rd)
+        start_it = rd.start_iteration
+        # outputs renamed *_rs so the original files survive (BayesRRm.cpp:1206-1222)
+        opt.mcmc_out_name += "_rs"
+        mcmc_out = opt.mcmc_out
+    else:
+        state = sampler.init_state()
+
+    writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups,
+                        ds.mS.shape[1], opt.thin, opt.save, opt.seed,
+                        covariates=opt.covariates)
+    marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
+
+    tot_proc = 0.0
+    stats = None
+    for it in range(start_it, opt.chain_length):
+        t0 = time.time()
+        state, stats = sampler.step(state, it)
+        if it % opt.thin == 0:
+            sg = np.asarray(state.sigma_g, dtype=np.float64)
+            se = float(state.sigma_e)
+            m0 = int(np.asarray(stats.m0).sum())
+            row = writer.csv_row_brr(it, sg, se, m0,
+                                     np.asarray(state.est_pi, dtype=np.float64))
+            writer.on_thin(it, sampler.beta_global(state),
+                           sampler.components_global(state), row,
+                           float(state.mu), acum=sampler.acum_global(state))
+        if it > 0 and it % opt.save == 0:
+            eps = np.asarray(state.eps, dtype=np.float64)[: ds.n]
+            fh_state = None
+            if fh:
+                lam = np.zeros(ds.m)
+                nu = np.zeros(ds.m)
+                sel = sampler.slot_to_marker >= 0
+                lam[sampler.slot_to_marker[sel]] = np.asarray(state.lambda_var)[sel]
+                nu[sampler.slot_to_marker[sel]] = np.asarray(state.nu_var)[sel]
+                fh_state = dict(lambda_var=lam, nu_var=nu,
+                                c_slab=np.asarray(state.c_slab),
+                                tau=float(state.tau), hyp_tau=float(state.hyp_tau))
+            writer.on_save(it, eps, marker_order, sampler.beta_global(state),
+                           sampler.components_global(state),
+                           gamma=np.asarray(state.gamma, dtype=np.float64),
+                           fh_state=fh_state)
+        dt = time.time() - t0
+        tot_proc += dt
+        if verbose and it % 10 == 0:
+            sg = float(np.asarray(state.sigma_g).sum())
+            se = float(state.sigma_e)
+            print(f"RESULT : it {it:4d}: proc = {dt:9.3f} s, sigmaG = {sg:.10f}, "
+                  f"sigmaE = {se:.10f}, h2 = {sg / (sg + se):.6f}, "
+                  f"m0 = {int(np.asarray(stats.m0).sum()):d}", flush=True)
+
+    return dict(state=state, stats=stats, sampler=sampler,
+                total_seconds=tot_proc, mcmc_out=mcmc_out)

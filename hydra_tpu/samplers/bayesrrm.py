@@ -526,6 +526,45 @@ class BayesRRm:
         )
 
     # ------------------------------------------------------------------
+    def init_state_from_restart(self, rd) -> BayesRRmState:
+        """Rebuild device state from a RestartData (init_from_restart,
+        BayesRRm.cpp:842-928). Resumes at rd.start_iteration."""
+        cfg = self.cfg
+        st = self.init_state()
+        eps = np.zeros(cfg.n_pad, dtype=np.float32)
+        eps[: cfg.n_real] = rd.eps
+        beta_slot = np.zeros(cfg.m_glob, dtype=np.float32)
+        comp_slot = np.zeros(cfg.m_glob, dtype=np.int32)
+        sel = self.slot_to_marker >= 0
+        beta_slot[sel] = rd.beta[self.slot_to_marker[sel]]
+        comp_slot[sel] = rd.components[self.slot_to_marker[sel]]
+        put = jax.device_put
+        st = st._replace(
+            eps=put(jnp.asarray(eps), self._rep),
+            beta=put(jnp.asarray(beta_slot), self._shard_m),
+            components=put(jnp.asarray(comp_slot), self._shard_m),
+            mu=put(jnp.float32(rd.mu), self._rep),
+            sigma_e=put(jnp.float32(rd.sigma_e), self._rep),
+            sigma_g=put(jnp.asarray(rd.sigma_g, jnp.float32), self._rep),
+            est_pi=put(jnp.asarray(rd.est_pi, jnp.float32), self._rep),
+        )
+        if rd.gamma is not None and cfg.n_cov > 0:
+            st = st._replace(gamma=put(jnp.asarray(rd.gamma, jnp.float32), self._rep))
+        if rd.fh_state is not None and cfg.fh:
+            lam_slot = np.ones(cfg.m_glob, dtype=np.float32)
+            nu_slot = np.zeros(cfg.m_glob, dtype=np.float32)
+            lam_slot[sel] = rd.fh_state["lambda_var"][self.slot_to_marker[sel]]
+            nu_slot[sel] = rd.fh_state["nu_var"][self.slot_to_marker[sel]]
+            st = st._replace(
+                lambda_var=put(jnp.asarray(lam_slot), self._shard_m),
+                nu_var=put(jnp.asarray(nu_slot), self._shard_m),
+                c_slab=put(jnp.asarray(rd.fh_state["c_slab"], jnp.float32), self._rep),
+                tau=put(jnp.float32(rd.fh_state["tau"]), self._rep),
+                hyp_tau=put(jnp.float32(rd.fh_state["hyp_tau"]), self._rep),
+            )
+        return st
+
+    # ------------------------------------------------------------------
     def _build_step(self):
         cfg = self.cfg
         pm = P(MARKER_AXIS)

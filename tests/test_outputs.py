@@ -1,0 +1,139 @@
+"""End-to-end CLI run, output formats, and restart equivalence.
+
+Mirrors the reference's srun_restart.sh scenario (test/scripts/): full chain
+vs fail-at-k + --restart must produce consistent output.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_synthetic_bed
+
+
+def _write_phen(base, n, seed=4, na_every=0):
+    rs = np.random.RandomState(seed)
+    with open(base + ".phen", "w") as fh:
+        for i in range(n):
+            if na_every and i % na_every == na_every - 1:
+                fh.write(f"per{i} per{i} NA\n")
+            else:
+                fh.write(f"per{i} per{i} {rs.randn():.6f}\n")
+
+
+def _run_cli(args, cwd="/root/repo"):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run([sys.executable, "-m", "hydra_tpu.cli"] + args,
+                       capture_output=True, text=True, env=env, cwd=cwd,
+                       timeout=600)
+    if r.returncode != 0:
+        raise RuntimeError(f"CLI failed:\n{r.stdout}\n{r.stderr}")
+    return r
+
+
+@pytest.fixture
+def small_run(tmp_path):
+    base, geno = make_synthetic_bed(tmp_path, 48, 120, seed=6)
+    _write_phen(base, 120)
+    return tmp_path, base
+
+
+def test_cli_bayesrrm_outputs(small_run):
+    tmp_path, base = small_run
+    out = str(tmp_path / "out")
+    _run_cli(["--mpibayes", "bayesMPI", "--bfile", base, "--pheno", base + ".phen",
+              "--mcmc-out-dir", out, "--mcmc-out-name", "t1",
+              "--chain-length", "12", "--thin", "2", "--save", "4",
+              "--seed", "5", "--S", "0.001,0.01,0.1", "--n-devices", "2"])
+    ob = os.path.join(out, "t1")
+    # csv rows: it 0,2,4,6,8,10
+    rows = open(ob + ".csv").read().strip().split("\n")
+    assert len(rows) == 6
+    tok = [t.strip() for t in rows[-1].split(",")]
+    assert int(tok[0]) == 10
+    assert int(tok[1]) == 1  # one group
+    # bet: u32 header Mtot + 6 records of [u32 it][48 f64]
+    raw = open(ob + ".bet", "rb").read()
+    assert np.frombuffer(raw[:4], np.uint32)[0] == 48
+    assert len(raw) == 4 + 6 * (4 + 48 * 8)
+    # xbet: header + it + last state
+    raw = open(ob + ".xbet", "rb").read()
+    assert np.frombuffer(raw[:4], np.uint32)[0] == 48
+    assert np.frombuffer(raw[4:8], np.uint32)[0] == 8  # last save iteration
+    # eps dump
+    raw = open(ob + ".eps.0", "rb").read()
+    it, n = np.frombuffer(raw[:8], np.uint32)
+    assert (it, n) == (8, 120)
+    assert len(raw) == 8 + 120 * 8
+    # cpn ints within [0, K)
+    raw = open(ob + ".cpn", "rb").read()
+    comps = np.frombuffer(raw[8: 8 + 48 * 4], np.int32)
+    assert comps.min() >= 0 and comps.max() <= 3
+
+
+def test_cli_restart(small_run):
+    tmp_path, base = small_run
+    out = str(tmp_path / "outr")
+    common = ["--mpibayes", "bayesMPI", "--bfile", base, "--pheno", base + ".phen",
+              "--mcmc-out-dir", out, "--thin", "2", "--save", "4",
+              "--seed", "9", "--S", "0.001,0.01,0.1"]
+    # truncated run to it 0..9 (last save at 8)
+    _run_cli(common + ["--mcmc-out-name", "tr", "--chain-length", "10"])
+    # restart continues from 9
+    _run_cli(common + ["--mcmc-out-name", "tr", "--chain-length", "16", "--restart"])
+    ob = os.path.join(out, "tr_rs")
+    rows = open(ob + ".csv").read().strip().split("\n")
+    its = [int(r.split(",")[0]) for r in rows]
+    assert its == [10, 12, 14]  # resumed at 9, thinned rows at 10..14
+    # original files untouched
+    rows0 = open(os.path.join(out, "tr") + ".csv").read().strip().split("\n")
+    assert [int(r.split(",")[0]) for r in rows0] == [0, 2, 4, 6, 8]
+
+
+def test_cli_na_phenotypes(tmp_path):
+    """NA test equivalent of srun_NA_test.sh: run with NAs, outputs well-formed."""
+    base, _ = make_synthetic_bed(tmp_path, 32, 90, seed=8)
+    _write_phen(base, 90, na_every=9)
+    out = str(tmp_path / "outna")
+    _run_cli(["--mpibayes", "bayesMPI", "--bfile", base, "--pheno", base + ".phen",
+              "--mcmc-out-dir", out, "--mcmc-out-name", "na",
+              "--chain-length", "6", "--thin", "2", "--save", "4",
+              "--seed", "3", "--S", "0.001,0.01,0.1"])
+    raw = open(os.path.join(out, "na") + ".eps.0", "rb").read()
+    it, n = np.frombuffer(raw[:8], np.uint32)
+    assert n == 80  # 10 NAs dropped
+
+
+def test_cli_groups_and_check_ram(tmp_path, capsys):
+    base, _ = make_synthetic_bed(tmp_path, 30, 60, seed=10)
+    _write_phen(base, 60)
+    with open(str(tmp_path / "g.grp"), "w") as fh:
+        fh.write("\n".join(str(i % 2) for i in range(30)))
+    with open(str(tmp_path / "g.mS"), "w") as fh:
+        fh.write("0.001,0.01,0.1;0.001,0.01,0.1")
+    out = str(tmp_path / "outg")
+    _run_cli(["--mpibayes", "bayesMPI", "--bfile", base, "--pheno", base + ".phen",
+              "--groupIndexFile", str(tmp_path / "g.grp"),
+              "--groupMixtureFile", str(tmp_path / "g.mS"),
+              "--mcmc-out-dir", out, "--mcmc-out-name", "g",
+              "--chain-length", "4", "--thin", "2", "--save", "2", "--seed", "2"])
+    rows = open(os.path.join(out, "g") + ".csv").read().strip().split("\n")
+    tok = [t.strip() for t in rows[0].split(",")]
+    assert int(tok[1]) == 2  # two groups -> two sigmaG columns
+    # check-RAM path
+    r = _run_cli(["--check-RAM", "--bfile", base, "--check-RAM-tasks", "4"])
+    assert "per-chip HBM estimate" in r.stdout
+
+
+def test_bed_to_sparse_cli(tmp_path):
+    base, _ = make_synthetic_bed(tmp_path, 25, 40, seed=12)
+    _run_cli(["--bed-to-sparse", "--bfile", base])
+    from hydra_tpu.io.sparse import read_sparse_files
+    sp = read_sparse_files(base)
+    assert (sp.n, sp.m) == (40, 25)
