@@ -201,10 +201,6 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         A, B = decode_planes(pk, f32)
         xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N)
         base = jnp.dot(xt, eps, preferred_element_type=f32)    # x~ . eps0
-        if cfg.exact:
-            gram = jnp.dot(xt, xt.T, preferred_element_type=f32)
-        else:
-            gram = jnp.zeros((W, W), f32)
 
         # group-dependent per-marker rows
         log_pi_w = jnp.log(jnp.maximum(est_pi[grp_w], tiny))   # (W, K)
@@ -223,42 +219,82 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             nu_w = jnp.take(nu, idx)
             lamt_w = jnp.ones((W,), f32)
 
-        def marker_step(dbeta, xs):
-            (j, gram_row, base_j, bold, grp_logpi, cva_j, cvai_j, sigG,
-             act, u, nrm, lamt) = xs
-            num = base_j + jnp.dot(gram_row, dbeta) + bold * dNm1
-            if cfg.fh:
-                denom = dNm1 + sigma_e / lamt                       # (scalar)
-                denomk = jnp.full((km1,), denom, f32)
-                log_det = jnp.log((lamt / sigma_e) * dNm1 + 1.0)
-                log_detk = jnp.full((km1,), log_det, f32)
-            else:
-                safe_g = jnp.maximum(sigG, tiny)
-                denomk = dNm1 + (sigma_e / safe_g) * cvai_j          # (km1,)
-                log_detk = jnp.log((sigG / sigma_e) * dNm1 * cva_j + 1.0)
-            muk = num / denomk
-            logL = jnp.concatenate([
-                grp_logpi[:1],
-                grp_logpi[1:] - 0.5 * log_detk + muk * num * i_2se,
-            ])
-            m = jnp.max(logL)
-            pr = jnp.exp(logL - m)
-            probs = pr / jnp.sum(pr)
-            cum = jnp.cumsum(probs)
-            comp = jnp.sum((u > cum).astype(jnp.int32))
-            comp = jnp.minimum(comp, km1)
-            ksel = jnp.maximum(comp - 1, 0)
-            beta_nz = muk[ksel] + nrm * jnp.sqrt(sigma_e / denomk[ksel])
-            beta_new = jnp.where((comp > 0) & act, beta_nz, 0.0)
-            comp = jnp.where(act, comp, 0)
-            acum0 = jnp.where(act, probs[0], 1.0)
-            dbeta = dbeta.at[j].set(bold - beta_new)
-            return dbeta, (beta_new, comp, acum0)
+        # ---- per-marker constants, vectorized over the window ----
+        if cfg.fh:
+            denomk = dNm1 + (sigma_e / lamt_w)[:, None] * jnp.ones((1, km1), f32)
+            log_detk = jnp.log((lamt_w / sigma_e) * dNm1 + 1.0)[:, None] \
+                * jnp.ones((1, km1), f32)
+        else:
+            safe_g = jnp.maximum(sig_g_w, tiny)
+            denomk = dNm1 + (sigma_e / safe_g)[:, None] * cvai_w     # (W, km1)
+            log_detk = jnp.log(
+                (sig_g_w / sigma_e)[:, None] * dNm1 * cva_w + 1.0)
+        inv_denomk = 1.0 / denomk
+        sd_k = jnp.sqrt(sigma_e * inv_denomk)                        # (W, km1)
+        logl_static = jnp.concatenate(
+            [log_pi_w[:, :1], log_pi_w[:, 1:] - 0.5 * log_detk], axis=1)
+        num0 = base + bold_w * dNm1                                  # (W,)
 
-        xs = (jnp.arange(W), gram, base, bold_w, log_pi_w, cva_w, cvai_w,
-              sig_g_w, act_w, u_w, nrm_w, lamt_w)
-        dbeta0 = jax.lax.pcast(jnp.zeros((W,), f32), (MARKER_AXIS,), to="varying")
-        dbeta, (bnew_w, comp_w, acum_w) = jax.lax.scan(marker_step, dbeta0, xs)
+        def draw_rows(num):
+            """Vectorized component + beta draw given the dot products.
+
+            `num` is (W,); returns (beta_new, comp, acum0) each (W,).
+            Stable row-softmax replaces the exp-overflow guard
+            (BayesRRm.cpp:1883-1892)."""
+            muk = num[:, None] * inv_denomk
+            logL = jnp.concatenate(
+                [logl_static[:, :1],
+                 logl_static[:, 1:] + muk * num[:, None] * i_2se], axis=1)
+            m = jnp.max(logL, axis=1, keepdims=True)
+            pr = jnp.exp(logL - m)
+            probs = pr / jnp.sum(pr, axis=1, keepdims=True)
+            cum = jnp.cumsum(probs, axis=1)
+            comp = jnp.minimum(
+                jnp.sum((u_w[:, None] > cum).astype(jnp.int32), axis=1), km1)
+            ksel = jnp.maximum(comp - 1, 0)[:, None]
+            beta_nz = (jnp.take_along_axis(muk, ksel, axis=1)
+                       + nrm_w[:, None] * jnp.take_along_axis(sd_k, ksel, axis=1)
+                       )[:, 0]
+            beta_new = jnp.where((comp > 0) & act_w, beta_nz, 0.0)
+            comp = jnp.where(act_w, comp, 0)
+            acum0 = jnp.where(act_w, probs[:, 0], 1.0)
+            return beta_new, comp, acum0
+
+        if cfg.exact:
+            # Gram correction: num_j += sum_{k<j} dbeta_k Gram_jk recovers
+            # exact sequential Gibbs; the scan carries the running epsilon
+            # correction in marker space.
+            gram = jnp.dot(xt, xt.T, preferred_element_type=f32)
+
+            def marker_step(dbeta, j):
+                num_j = num0[j] + jnp.dot(gram[j], dbeta)
+                muk = num_j * inv_denomk[j]
+                logL = jnp.concatenate(
+                    [logl_static[j, :1],
+                     logl_static[j, 1:] + muk * num_j * i_2se])
+                pr = jnp.exp(logL - jnp.max(logL))
+                probs = pr / jnp.sum(pr)
+                cum = jnp.cumsum(probs)
+                comp = jnp.minimum(
+                    jnp.sum((u_w[j] > cum).astype(jnp.int32)), km1)
+                ksel = jnp.maximum(comp - 1, 0)
+                beta_nz = muk[ksel] + nrm_w[j] * sd_k[j, ksel]
+                beta_new = jnp.where((comp > 0) & act_w[j], beta_nz, 0.0)
+                comp = jnp.where(act_w[j], comp, 0)
+                acum0 = jnp.where(act_w[j], probs[0], 1.0)
+                dbeta = dbeta.at[j].set(bold_w[j] - beta_new)
+                return dbeta, (beta_new, comp, acum0)
+
+            dbeta0 = jax.lax.pcast(
+                jnp.zeros((W,), f32), (MARKER_AXIS,), to="varying")
+            dbeta, (bnew_w, comp_w, acum_w) = jax.lax.scan(
+                marker_step, dbeta0, jnp.arange(W))
+        else:
+            # Stale-window semantics (the reference's sync-rate relaxation,
+            # BayesRRm.cpp:2044-2488): draws are independent given the frozen
+            # residual -> fully vectorized, no scan.
+            bnew_w, comp_w, acum_w = draw_rows(num0)
+            dbeta = bold_w - bnew_w
 
         # residual sync: dense psum over the marker mesh axis
         # (replaces MPI_Allreduce(dEpsSum), BayesRRm.cpp:2456-2460)
@@ -584,14 +620,16 @@ class BayesRRm:
             out_specs=(state_specs, stats_specs),
         )
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def step(seed, it, state):
+        def raw_step(seed, it, state):
             return sharded(seed, it, state, self.packed, self.groups,
                            self.mave, self.mstd, self.valid, self.cva,
                            self.cvai, self.dirc, self.sigma_priors,
                            self.mtot_grp, self.ind_mask, self.x_cov)
 
-        return step
+        self.raw_step = raw_step  # un-jitted (compile checks, graft)
+        # NOTE: no donate_argnums — buffer donation adds ~25 ms/call of host
+        # bookkeeping on tunneled TPU backends; the state copy is cheap.
+        return jax.jit(raw_step)
 
     def step(self, state: BayesRRmState, iteration: int
              ) -> Tuple[BayesRRmState, IterStats]:

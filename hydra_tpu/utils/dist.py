@@ -65,9 +65,15 @@ def inv_scaled_chisq_rng(key, dof, scale, shape=(), dtype=jnp.float32):
 
 
 def beta_rng(key, a, b, shape=(), dtype=jnp.float32):
-    """Beta(a, b) via jax.random.beta (distributions_boost.cpp:132-136)."""
-    return jax.random.beta(key, jnp.asarray(a, dtype), jnp.asarray(b, dtype),
-                           shape or None, dtype)
+    """Beta(a, b) via two gammas (distributions_boost.cpp:132-136).
+
+    Ga/(Ga+Gb) construction: jax.random.beta's direct path compiles orders of
+    magnitude slower on some backends; the gamma route is equivalent.
+    """
+    k1, k2 = jax.random.split(key)
+    ga = jax.random.gamma(k1, jnp.asarray(a, dtype), shape or None, dtype)
+    gb = jax.random.gamma(k2, jnp.asarray(b, dtype), shape or None, dtype)
+    return ga / (ga + gb)
 
 
 def dirichlet_rng(key, alpha, dtype=jnp.float32):
