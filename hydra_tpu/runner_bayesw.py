@@ -1,0 +1,71 @@
+"""BayesW chain runner with hydra-format outputs (BayesW.cpp:1935-2090)."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from hydra_tpu.data.genotypes import Dataset
+from hydra_tpu.options import Options
+from hydra_tpu.outputs.restart import read_restart
+from hydra_tpu.outputs.writers import McmcWriter
+from hydra_tpu.samplers.bayesw import BayesW
+
+
+def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
+               verbose: bool = True) -> dict:
+    from hydra_tpu.runner import dataset_from_options
+
+    ds = dataset if dataset is not None else dataset_from_options(opt)
+    sampler = BayesW(ds, window=opt.window, shuffle=bool(opt.shuffle_markers),
+                     seed=opt.seed, quad_points=int(opt.quad_points),
+                     n_devices=opt.n_devices)
+
+    mcmc_out = opt.mcmc_out
+    start_it = 0
+    if opt.restart:
+        rd = read_restart(mcmc_out, ds.m, ds.n, opt.save,
+                          use_xfiles=opt.use_xfiles_in_restart,
+                          covariates=opt.covariates, survival=True)
+        state = sampler.init_state_from_restart(rd)
+        start_it = rd.start_iteration
+        opt.mcmc_out_name += "_rs"
+        mcmc_out = opt.mcmc_out
+    else:
+        state = sampler.init_state()
+
+    writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups, ds.mS.shape[1],
+                        opt.thin, opt.save, opt.seed,
+                        covariates=opt.covariates, survival=True)
+    marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
+
+    stats = None
+    for it in range(start_it, opt.chain_length):
+        t0 = time.time()
+        state, stats = sampler.step(state, it)
+        if it % opt.thin == 0:
+            sg = np.asarray(state.sigma_g, dtype=np.float64)
+            row = writer.csv_row_bw(it, float(state.mu), sg, float(state.alpha),
+                                    int(np.asarray(stats.m0).sum()),
+                                    np.asarray(state.pi_l, dtype=np.float64))
+            gamma_text = None
+            if opt.covariates:
+                g = np.asarray(state.gamma, dtype=np.float64)
+                gamma_text = (f"{it:5d}, "
+                              + ", ".join(f"{v:20.17f}" for v in g) + "\n")
+            writer.on_thin(it, sampler.beta_global(state),
+                           sampler.components_global(state), row,
+                           float(state.mu), gamma_text=gamma_text)
+        if it > 0 and it % opt.save == 0:
+            eps = np.asarray(state.eps, dtype=np.float64)[: ds.n]
+            writer.on_save(it, eps, marker_order, sampler.beta_global(state),
+                           sampler.components_global(state))
+        if verbose and it % 10 == 0:
+            print(f"{it}. m0={int(np.asarray(stats.m0).sum())}; "
+                  f"mu={float(state.mu):.5f}; alpha={float(state.alpha):.5f}; "
+                  f"sigmaG={float(np.asarray(state.sigma_g).sum()):.5f} "
+                  f"({time.time() - t0:.3f}s)", flush=True)
+
+    return dict(state=state, stats=stats, sampler=sampler, mcmc_out=mcmc_out)

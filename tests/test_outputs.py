@@ -131,6 +131,34 @@ def test_cli_groups_and_check_ram(tmp_path, capsys):
     assert "per-chip HBM estimate" in r.stdout
 
 
+def test_cli_bayesw(tmp_path):
+    """BayesW end-to-end incl. restart (csv layout BayesW.cpp:1942-1961)."""
+    rs = np.random.RandomState(14)
+    base, geno = make_synthetic_bed(tmp_path, 24, 80, seed=14)
+    with open(base + ".phen", "w") as fh:
+        for i in range(80):
+            fh.write(f"per{i} per{i} {4.0 + rs.randn() * 0.2:.6f}\n")
+    with open(base + ".fail", "w") as fh:
+        fh.write("\n".join("1" if rs.random() > 0.2 else "0" for _ in range(80)))
+    out = str(tmp_path / "outw")
+    common = ["--mpibayes", "bayesWMPI", "--bfile", base,
+              "--pheno", base + ".phen", "--failure", base + ".fail",
+              "--mcmc-out-dir", out, "--thin", "2", "--save", "4",
+              "--seed", "21", "--S", "0.001,0.01,0.1", "--quad_points", "7"]
+    _run_cli(common + ["--mcmc-out-name", "w", "--chain-length", "10"])
+    ob = os.path.join(out, "w")
+    rows = open(ob + ".csv").read().strip().split("\n")
+    assert len(rows) == 5
+    tok = [t.strip() for t in rows[-1].split(",")]
+    assert int(tok[0]) == 8
+    mu, sg_sum, alpha = float(tok[1]), float(tok[2]), float(tok[3])
+    assert 3.0 < mu < 5.0 and alpha > 0
+    # restart
+    _run_cli(common + ["--mcmc-out-name", "w", "--chain-length", "14", "--restart"])
+    rows = open(os.path.join(out, "w_rs") + ".csv").read().strip().split("\n")
+    assert [int(r.split(",")[0]) for r in rows] == [10, 12]
+
+
 def test_bed_to_sparse_cli(tmp_path):
     base, _ = make_synthetic_bed(tmp_path, 25, 40, seed=12)
     _run_cli(["--bed-to-sparse", "--bfile", base])
