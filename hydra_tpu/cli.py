@@ -35,8 +35,12 @@ def main(argv=None) -> int:
         return 0
 
     if opt.bayes_type in ("bayesMPI", "bayesFHMPI"):
-        from hydra_tpu.runner import run_bayesrrm
-        run_bayesrrm(opt)
+        if opt.multi_phen:
+            from hydra_tpu.runner import run_bayesrrm_mt
+            run_bayesrrm_mt(opt)
+        else:
+            from hydra_tpu.runner import run_bayesrrm
+            run_bayesrrm(opt)
         return 0
 
     if opt.bayes_type == "bayesWMPI":

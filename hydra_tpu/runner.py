@@ -60,6 +60,80 @@ def dataset_from_options(opt: Options) -> Dataset:
     )
 
 
+def read_multi_phenos(opt: Options, n: int) -> np.ndarray:
+    """Read T phenotype files into (T, N) with NaN for missing individuals
+    (readPhenotypeFileAndSetNanMask semantics, data.cpp:1578-1609)."""
+    rows = []
+    for path in opt.phenotype_files:
+        vals = []
+        with open(path) as fh:
+            for raw in fh:
+                parts = raw.split()
+                if not parts:
+                    continue
+                vals.append(np.nan if parts[2] == "NA" else float(parts[2]))
+        if n and len(vals) != n:
+            raise ValueError(f"{path}: expected {n} individuals, found {len(vals)}")
+        rows.append(vals)
+    return np.asarray(rows, dtype=np.float64)
+
+
+def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
+    """Multi-trait chain (the reference declares but disables this path,
+    main.cpp:73-75; enabled here). Writes per-trait csv/bet files suffixed
+    .t<k>."""
+    from hydra_tpu.data.genotypes import load_dataset
+    from hydra_tpu.io import plink
+    from hydra_tpu.io.pheno import PhenoData
+    from hydra_tpu.samplers.bayesrrm_mt import BayesRRmMT
+
+    n = opt.number_individuals or plink.read_fam(opt.bed_file + ".fam").n
+    m = opt.number_markers or plink.read_bim(opt.bed_file + ".bim").m
+    phenos = read_multi_phenos(opt, n)
+    # genotypes keep all individuals; NaNs are masked, not removed
+    ph = PhenoData(y=np.nan_to_num(phenos[0]),
+                   na_indices=np.array([], dtype=np.int64))
+    grp = mS = None
+    if opt.group_index_file:
+        from hydra_tpu.io import groups as groups_io
+        grp = groups_io.read_group_file(opt.group_index_file)
+        mS = groups_io.read_ms_file(opt.group_mixture_file)
+    ds = load_dataset(bed_basename=opt.bed_file, pheno=ph, n=n, m=m,
+                      groups=grp, mS=mS, S=opt.S)
+    sampler = BayesRRmMT(ds, phenos, window=opt.window,
+                         shuffle=bool(opt.shuffle_markers), seed=opt.seed,
+                         n_devices=opt.n_devices)
+    state = sampler.init_state()
+    writers = [
+        McmcWriter(opt.mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
+                   ds.mS.shape[1], opt.thin, opt.save, opt.seed)
+        for t in range(phenos.shape[0])
+    ]
+    stats = None
+    for it in range(opt.chain_length):
+        state, stats = sampler.step(state, it)
+        if it % opt.thin == 0:
+            beta_g = sampler.beta_global(state)
+            for t, w in enumerate(writers):
+                sg = np.asarray(state.sigma_g, dtype=np.float64)[t]
+                se = float(np.asarray(state.sigma_e)[t])
+                m0 = int(np.asarray(stats.m0)[t].sum())
+                row = w.csv_row_brr(it, sg, se, m0,
+                                    np.asarray(state.est_pi)[t].astype(np.float64))
+                comp_t = np.zeros(ds.m, dtype=np.int32)
+                sel = sampler.slot_to_marker >= 0
+                comp_t[sampler.slot_to_marker[sel]] = \
+                    np.asarray(state.components)[sel, t]
+                w.on_thin(it, beta_g[:, t], comp_t, row,
+                          float(np.asarray(state.mu)[t]))
+        if verbose and it % 10 == 0:
+            sg = np.asarray(state.sigma_g).sum(axis=1)
+            se = np.asarray(state.sigma_e)
+            print(f"RESULT : it {it:4d}: h2 per trait = "
+                  f"{np.array2string(sg / (sg + se), precision=4)}", flush=True)
+    return dict(state=state, stats=stats, sampler=sampler)
+
+
 def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
                  verbose: bool = True) -> dict:
     """Full BayesRRm/FH chain with hydra-format outputs and restart."""

@@ -159,6 +159,25 @@ def test_cli_bayesw(tmp_path):
     assert [int(r.split(",")[0]) for r in rows] == [10, 12]
 
 
+def test_cli_multi_trait(tmp_path):
+    base, _ = make_synthetic_bed(tmp_path, 20, 60, seed=15)
+    rs = np.random.RandomState(15)
+    for t in (1, 2):
+        with open(base + f".phen{t}", "w") as fh:
+            for i in range(60):
+                v = "NA" if (t == 2 and i % 20 == 19) else f"{rs.randn():.5f}"
+                fh.write(f"per{i} per{i} {v}\n")
+    out = str(tmp_path / "outmt")
+    _run_cli(["--mpibayes", "bayesMPI", "--bfile", base,
+              "--pheno", f"{base}.phen1,{base}.phen2",
+              "--mcmc-out-dir", out, "--mcmc-out-name", "mt",
+              "--chain-length", "6", "--thin", "2", "--save", "4",
+              "--seed", "4", "--S", "0.001,0.01,0.1"])
+    for t in range(2):
+        rows = open(os.path.join(out, f"mt.t{t}") + ".csv").read().strip().split("\n")
+        assert len(rows) == 3
+
+
 def test_bed_to_sparse_cli(tmp_path):
     base, _ = make_synthetic_bed(tmp_path, 25, 40, seed=12)
     _run_cli(["--bed-to-sparse", "--bfile", base])
