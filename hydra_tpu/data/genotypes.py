@@ -58,17 +58,25 @@ class GenotypeData:
 
     @staticmethod
     def from_packed(packed: np.ndarray, n: int, na_indices: np.ndarray) -> "GenotypeData":
+        from hydra_tpu import native
+
         if len(na_indices):
-            packed = plink.remove_individuals_packed(packed, n, na_indices)
+            repacked = native.bed_remove_individuals(packed, n, na_indices)
+            if repacked is None:
+                repacked = plink.remove_individuals_packed(packed, n, na_indices)
+            packed = repacked
             n = n - len(na_indices)
         m = packed.shape[0]
         n_pad = ((n + IND_ALIGN - 1) // IND_ALIGN) * IND_ALIGN
         packed = _pad_packed_columns(packed, n, n_pad)
-        # Counts on padded data: padding decodes as missing, subtract it.
-        geno, mask = plink.decode_bed_numpy(packed, n)
-        n1 = ((geno == 1.0) & (mask == 1.0)).sum(axis=1).astype(np.float64)
-        n2 = (geno == 2.0).sum(axis=1).astype(np.float64)
-        nm = (mask == 0.0).sum(axis=1).astype(np.float64)
+        counts = native.bed_counts(packed, n)
+        if counts is not None:
+            n1, n2, nm = (c.astype(np.float64) for c in counts)
+        else:
+            geno, mask = plink.decode_bed_numpy(packed, n)
+            n1 = ((geno == 1.0) & (mask == 1.0)).sum(axis=1).astype(np.float64)
+            n2 = (geno == 2.0).sum(axis=1).astype(np.float64)
+            nm = (mask == 0.0).sum(axis=1).astype(np.float64)
         dn = float(n)
         with np.errstate(divide="ignore", invalid="ignore"):
             mave = (n1 + 2.0 * n2) / (dn - nm)
