@@ -18,6 +18,10 @@ from hydra_tpu.options import parse_args
 def main(argv=None) -> int:
     opt = parse_args(argv)
 
+    # multi-host pods: no-op on a single host (parallel/distributed.py)
+    from hydra_tpu.parallel.distributed import init_distributed
+    init_distributed()
+
     if opt.bed_to_sparse:
         from hydra_tpu.io import plink
         from hydra_tpu.io.sparse import write_sparse_files
