@@ -39,7 +39,10 @@ def init_distributed(coordinator: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
         return True
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    # explicit opt-in only: single-worker environments may still export
+    # TPU_WORKER_HOSTNAMES=localhost, which must not trigger a coordinator
+    if os.environ.get("HYDRA_DISTRIBUTED") == "1" or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
         return True
     return False

@@ -84,6 +84,7 @@ class BayesRRmConfig:
     exact: bool = True
     fh: bool = False
     shuffle: bool = True
+    use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
     # FH hyper-priors (options.hpp:89-96)
     v0L: float = 3.0
     v0t: float = 3.0
@@ -260,7 +261,16 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             acum0 = jnp.where(act_w, probs[:, 0], 1.0)
             return beta_new, comp, acum0
 
-        if cfg.exact:
+        if cfg.exact and cfg.use_pallas:
+            # Fused in-VMEM recurrence kernel (ops/gibbs_kernel.py): exact
+            # sequential Gibbs at VPU latency instead of XLA-scan overhead.
+            from hydra_tpu.ops.gibbs_kernel import window_gibbs
+
+            gram = jnp.dot(xt, xt.T, preferred_element_type=f32)
+            dbeta, bnew_w, comp_w, acum_w = window_gibbs(
+                gram, num0, logl_static, inv_denomk, sd_k, u_w, nrm_w,
+                act_w.astype(f32), bold_w, i_2se, vma=(MARKER_AXIS,))
+        elif cfg.exact:
             # Gram correction: num_j += sum_{k<j} dbeta_k Gram_jk recovers
             # exact sequential Gibbs; the scan carries the running epsilon
             # correction in marker space.
@@ -435,6 +445,7 @@ class BayesRRm:
             n_dev=n_dev, window=window, k=K, num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle,
+            use_pallas=(jax.default_backend() == "tpu"),
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),
             tau0=fhp.get("tau0", 1.0),
