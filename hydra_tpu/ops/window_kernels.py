@@ -1,0 +1,171 @@
+"""Pallas kernels fusing 2-bit decode into the window matmuls.
+
+The jnp path materializes the decoded genotype/mask planes (two W x N float32
+arrays) in HBM every window — 32x the traffic of the packed bytes. These
+kernels decode *in VMEM* and feed the MXU directly, so HBM sees only the
+packed bytes (W x N/4 uint8), the residual, and the small outputs.
+
+Interleave-free decode: instead of unpacking a byte into 4 adjacent
+individuals (a lane-interleaving relayout Mosaic dislikes), the residual is
+passed in "deinterleaved" layout eps_d[k, b] = eps[4b + k]; each of the 4
+bit-planes then pairs with its own residual row and no shuffling is needed:
+
+    s1 = sum_k  G_k @ eps_d[k],     G_k = geno((packed >> 2k) & 3)
+    s2 = sum_k  M_k @ eps_d[k],     M_k = (code != missing)
+    Gram += sum_k X_k @ X_k^T,      X_k = (G_k - mave*M_k) * mstd
+
+which is exactly the LUT dot product of BayesRRm.cpp:1774-1808 and the Gram
+matrix of the exact window scheme, in one pass over the packed bytes.
+
+All kernels tile the individual (byte) dimension via the Pallas grid and
+accumulate into their outputs across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+
+
+def _pick_tile(nb: int, preferred: int) -> int:
+    """Largest 128-multiple tile <= preferred that divides nb (nb is always a
+    128-multiple thanks to IND_ALIGN padding)."""
+    if nb <= preferred:
+        return nb
+    for cand in range(preferred, 0, -128):
+        if nb % cand == 0:
+            return cand
+    return nb
+
+
+def _decode_k(pk, k):
+    # arithmetic decode from the two bits (no bool vectors — Mosaic relayout
+    # of i1 masks is unreliable): code 00->geno 2, 01->missing, 10->1, 11->0
+    bit0 = ((pk >> (2 * k)) & 1).astype(f32)
+    bit1 = ((pk >> (2 * k + 1)) & 1).astype(f32)
+    g = (1.0 - bit0) * (2.0 - bit1)
+    m = 1.0 - bit0 * (1.0 - bit1)
+    return g, m
+
+
+def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
+                  s1_ref, s2_ref, gram_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s1_ref[:, :] = jnp.zeros_like(s1_ref)
+        s2_ref[:, :] = jnp.zeros_like(s2_ref)
+        if exact:
+            gram_ref[:, :] = jnp.zeros_like(gram_ref)
+
+    pk = pk_ref[:, :]                      # (W, TB) uint8
+    mave = mave_ref[:, :]                  # (W, 1)
+    mstd = mstd_ref[:, :]
+    for k in range(4):
+        g, m = _decode_k(pk, k)
+        e = eps_ref[k, :].reshape(-1, 1)   # (TB, 1)
+        s1_ref[:, :] += jnp.dot(g, e, preferred_element_type=f32).T
+        s2_ref[:, :] += jnp.dot(m, e, preferred_element_type=f32).T
+        if exact:
+            x = (g - mave * m) * mstd
+            gram_ref[:, :] += jnp.dot(x, x.T, preferred_element_type=f32)
+
+
+def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
+                 mstd: jax.Array, exact: bool, tile_bytes: int = 512,
+                 vma=None, interpret: bool = False
+                 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """(s1, s2[, gram]) for a window.
+
+    packed: (W, NB) uint8; eps_d: (4, NB) f32 deinterleaved residual;
+    mave/mstd: (W,). NB must be a multiple of tile_bytes.
+    """
+    W, NB = packed.shape
+    tb = _pick_tile(NB, tile_bytes)
+    grid = (NB // tb,)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    out_shape = [sds((1, W)), sds((1, W)), sds((W, W) if exact else (8, 128))]
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W) if exact else (8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    s1, s2, gram = pl.pallas_call(
+        functools.partial(_stats_kernel, exact),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(packed, eps_d, mave.reshape(W, 1), mstd.reshape(W, 1))
+    return s1[0], s2[0], (gram if exact else None)
+
+
+def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
+    pk = pk_ref[:, :]                       # (W, TB)
+    c1 = c1_ref[:, :]                       # (1, W)
+    c2 = c2_ref[:, :]
+    rows = []
+    for k in range(4):
+        g, m = _decode_k(pk, k)
+        contrib = (jnp.dot(c1, g, preferred_element_type=f32)
+                   + jnp.dot(c2, m, preferred_element_type=f32))  # (1, TB)
+        rows.append(contrib)
+    out_ref[:, :] = jnp.concatenate(rows, axis=0)   # (4, TB)
+
+
+def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
+                tile_bytes: int = 512, vma=None, interpret: bool = False
+                ) -> jax.Array:
+    """dEps_d (4, NB) = sum_m c1_m * G_m + c2_m * M_m in deinterleaved layout.
+
+    For the residual update c1 = dbeta * mstd, c2 = -dbeta * mstd * mave
+    (sparse_scaadd equivalent, BayesRRm.cpp:250-281).
+    """
+    W, NB = packed.shape
+    tb = _pick_tile(NB, tile_bytes)
+    grid = (NB // tb,)
+    out_shape = (jax.ShapeDtypeStruct((4, NB), f32, vma=set(vma)) if vma
+                 else jax.ShapeDtypeStruct((4, NB), f32))
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _axpy_kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(packed, c1.reshape(1, W).astype(f32), c2.reshape(1, W).astype(f32))
+
+
+def deinterleave(eps: jax.Array) -> jax.Array:
+    """eps (N,) -> (4, N/4) with eps_d[k, b] = eps[4b + k]."""
+    return eps.reshape(-1, 4).T
+
+
+def interleave(eps_d: jax.Array) -> jax.Array:
+    """inverse of deinterleave: (4, NB) -> (4*NB,)."""
+    return eps_d.T.reshape(-1)

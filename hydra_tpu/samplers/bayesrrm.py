@@ -199,9 +199,21 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         u_w = jnp.take(u_loc, idx)
         nrm_w = jnp.take(n_loc, idx)
 
-        A, B = decode_planes(pk, f32)
-        xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N)
-        base = jnp.dot(xt, eps, preferred_element_type=f32)    # x~ . eps0
+        if cfg.use_pallas:
+            # fused decode+dot(+Gram) in VMEM (ops/window_kernels.py): HBM
+            # sees only the packed bytes, not W x N decoded planes
+            from hydra_tpu.ops.window_kernels import window_stats
+
+            eps_d = eps.reshape(-1, 4).T
+            s1, s2, gram_fused = window_stats(
+                pk, eps_d, mave_w, mstd_w, cfg.exact, vma=(MARKER_AXIS,))
+            base = mstd_w * (s1 - mave_w * s2)
+            xt = None
+        else:
+            A, B = decode_planes(pk, f32)
+            xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N)
+            base = jnp.dot(xt, eps, preferred_element_type=f32)    # x~ . eps0
+            gram_fused = None
 
         # group-dependent per-marker rows
         log_pi_w = jnp.log(jnp.maximum(est_pi[grp_w], tiny))   # (W, K)
@@ -266,9 +278,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             # sequential Gibbs at VPU latency instead of XLA-scan overhead.
             from hydra_tpu.ops.gibbs_kernel import window_gibbs
 
-            gram = jnp.dot(xt, xt.T, preferred_element_type=f32)
             dbeta, bnew_w, comp_w, acum_w = window_gibbs(
-                gram, num0, logl_static, inv_denomk, sd_k, u_w, nrm_w,
+                gram_fused, num0, logl_static, inv_denomk, sd_k, u_w, nrm_w,
                 act_w.astype(f32), bold_w, i_2se, vma=(MARKER_AXIS,))
         elif cfg.exact:
             # Gram correction: num_j += sum_{k<j} dbeta_k Gram_jk recovers
@@ -308,7 +319,14 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
         # residual sync: dense psum over the marker mesh axis
         # (replaces MPI_Allreduce(dEpsSum), BayesRRm.cpp:2456-2460)
-        d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import window_axpy
+
+            c1 = dbeta * mstd_w
+            d_eps = window_axpy(pk, c1, -c1 * mave_w,
+                                vma=(MARKER_AXIS,)).T.reshape(-1)
+        else:
+            d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
         d_eps = jax.lax.psum(d_eps, MARKER_AXIS)
         eps = eps + d_eps
         sum_abs_db = sum_abs_db + jax.lax.psum(jnp.sum(jnp.abs(dbeta)), MARKER_AXIS)

@@ -1,0 +1,72 @@
+"""Fused decode+matmul window kernel parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydra_tpu.ops.decode import decode_planes
+from hydra_tpu.ops.window_kernels import (
+    deinterleave,
+    interleave,
+    window_axpy,
+    window_stats,
+)
+
+
+def _inputs(w=32, n=2048, seed=0):
+    rs = np.random.RandomState(seed)
+    packed = jnp.asarray(rs.randint(0, 256, (w, n // 4), dtype=np.uint8))
+    eps = jnp.asarray(rs.randn(n).astype(np.float32))
+    mave = jnp.asarray((rs.rand(w) + 0.5).astype(np.float32))
+    mstd = jnp.asarray((rs.rand(w) + 0.5).astype(np.float32))
+    return packed, eps, mave, mstd
+
+
+def test_deinterleave_roundtrip():
+    x = jnp.arange(32.0)
+    d = deinterleave(x)
+    assert d.shape == (4, 8)
+    np.testing.assert_array_equal(np.asarray(d[1, :3]), [1.0, 5.0, 9.0])
+    np.testing.assert_array_equal(np.asarray(interleave(d)), np.asarray(x))
+
+
+def test_window_stats_parity():
+    packed, eps, mave, mstd = _inputs()
+    A, B = decode_planes(packed, jnp.float32)
+    s1_ref = np.asarray(A) @ np.asarray(eps)
+    s2_ref = np.asarray(B) @ np.asarray(eps)
+    xt = np.asarray((A - mave[:, None] * B) * mstd[:, None])
+    gram_ref = xt @ xt.T
+
+    s1, s2, gram = window_stats(packed, deinterleave(eps), mave, mstd,
+                                exact=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2), s2_ref, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gram), gram_ref,
+                               rtol=3e-3, atol=0.5)
+
+    s1b, s2b, gram_b = window_stats(packed, deinterleave(eps), mave, mstd,
+                                    exact=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1b), s1_ref, rtol=2e-4)
+    assert gram_b is None
+
+
+def test_window_axpy_parity():
+    packed, eps, mave, mstd = _inputs(seed=3)
+    W = packed.shape[0]
+    rs = np.random.RandomState(5)
+    c1 = jnp.asarray((rs.randn(W) * 0.01).astype(np.float32))
+    c2 = jnp.asarray((rs.randn(W) * 0.01).astype(np.float32))
+    A, B = decode_planes(packed, jnp.float32)
+    ref = np.asarray(c1) @ np.asarray(A) + np.asarray(c2) @ np.asarray(B)
+    de = interleave(window_axpy(packed, c1, c2, interpret=True))
+    np.testing.assert_allclose(np.asarray(de), ref, rtol=2e-4, atol=1e-5)
+
+
+def test_window_stats_multi_tile():
+    packed, eps, mave, mstd = _inputs(w=16, n=4096, seed=7)
+    A, B = decode_planes(packed, jnp.float32)
+    s1_ref = np.asarray(A) @ np.asarray(eps)
+    s1, s2, _ = window_stats(packed, deinterleave(eps), mave, mstd,
+                             exact=False, tile_bytes=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4)
