@@ -161,6 +161,56 @@ def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
     )(packed, c1.reshape(1, W).astype(f32), c2.reshape(1, W).astype(f32))
 
 
+def _levels_kernel(pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s1_ref[:, :] = jnp.zeros_like(s1_ref)
+        s2_ref[:, :] = jnp.zeros_like(s2_ref)
+        sm_ref[:, :] = jnp.zeros_like(sm_ref)
+
+    pk = pk_ref[:, :]
+    for k in range(4):
+        g, m = _decode_k(pk, k)
+        i1 = g * (2.0 - g)          # 1 where genotype == 1
+        i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
+        v = v_ref[k, :].reshape(-1, 1)
+        s1_ref[:, :] += jnp.dot(i1, v, preferred_element_type=f32).T
+        s2_ref[:, :] += jnp.dot(i2, v, preferred_element_type=f32).T
+        sm_ref[:, :] += jnp.dot(m, v, preferred_element_type=f32).T
+
+
+def window_level_sums(packed: jax.Array, vi_d: jax.Array,
+                      tile_bytes: int = 512, vma=None,
+                      interpret: bool = False):
+    """(sum_{g==1} vi, sum_{g==2} vi, sum_{mask} vi) per window marker.
+
+    The BayesW partial sums (partial_sum BayesW.cpp:49-65) as one fused pass:
+    vi_d is the deinterleaved vi vector (4, NB).
+    """
+    W, NB = packed.shape
+    tb = _pick_tile(NB, tile_bytes)
+    grid = (NB // tb,)
+
+    def sds():
+        return (jax.ShapeDtypeStruct((1, W), f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct((1, W), f32))
+
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, W), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+    )
+    s1, s2, sb = pl.pallas_call(
+        _levels_kernel, grid_spec=grid_spec,
+        out_shape=[sds(), sds(), sds()], interpret=interpret,
+    )(packed, vi_d)
+    return s1[0], s2[0], sb[0]
+
+
 def deinterleave(eps: jax.Array) -> jax.Array:
     """eps (N,) -> (4, N/4) with eps_d[k, b] = eps[4b + k]."""
     return eps.reshape(-1, 4).T

@@ -83,6 +83,7 @@ class BayesWConfig:
     n_cov: int
     quad_n: int = 25
     shuffle: bool = True
+    use_pallas: bool = False
 
     @property
     def n_windows(self) -> int:
@@ -224,12 +225,18 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
 
         inv_sd = jnp.where(act_w, 1.0 / jnp.maximum(sd_w, 1e-30), 0.0)
 
-        A, B = decode_planes(pk, f32)
-        i1 = ((A == 1.0) & (B == 1.0)).astype(f32)
-        i2 = (A == 2.0).astype(f32)
-        s1 = jnp.dot(i1, vi, preferred_element_type=f32)
-        s2 = jnp.dot(i2, vi, preferred_element_type=f32)
-        b_vi = jnp.dot(B, vi, preferred_element_type=f32)
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import window_level_sums
+
+            s1, s2, b_vi = window_level_sums(
+                pk, vi.reshape(-1, 4).T, vma=(MARKER_AXIS,))
+        else:
+            A, B = decode_planes(pk, f32)
+            i1 = ((A == 1.0) & (B == 1.0)).astype(f32)
+            i2 = (A == 2.0).astype(f32)
+            s1 = jnp.dot(i1, vi, preferred_element_type=f32)
+            s2 = jnp.dot(i2, vi, preferred_element_type=f32)
+            b_vi = jnp.dot(B, vi, preferred_element_type=f32)
         s_all = jnp.sum(vi)
         sm = s_all - b_vi                       # missing-genotype individuals
         s0 = s_all - s1 - s2 - sm
@@ -300,8 +307,15 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         bnew_w = jnp.where(draw_mask, bnew, 0.0)
 
         dbeta = bold_w - bnew_w
-        xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
-        d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import window_axpy
+
+            c1 = dbeta * inv_sd
+            d_eps = window_axpy(pk, c1, -c1 * mave_w,
+                                vma=(MARKER_AXIS,)).T.reshape(-1)
+        else:
+            xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
+            d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
         d_eps = jax.lax.psum(d_eps, MARKER_AXIS)
         eps = eps + d_eps
         vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask  # :1832-1834
@@ -363,7 +377,8 @@ class BayesW:
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
             n_dev=n_dev, window=window, k=K, num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
-            quad_n=quad_points, shuffle=shuffle)
+            quad_n=quad_points, shuffle=shuffle,
+            use_pallas=(jax.default_backend() == "tpu"))
         cfg = self.cfg
 
         gh_x, gh_w = gh_table(cfg.quad_n)

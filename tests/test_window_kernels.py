@@ -63,6 +63,22 @@ def test_window_axpy_parity():
     np.testing.assert_allclose(np.asarray(de), ref, rtol=2e-4, atol=1e-5)
 
 
+def test_window_level_sums_parity():
+    from hydra_tpu.ops.window_kernels import window_level_sums
+
+    packed, eps, mave, mstd = _inputs(seed=9)
+    vi = jnp.abs(eps) + 0.1
+    A, B = decode_planes(packed, jnp.float32)
+    i1 = np.asarray(((A == 1.0) & (B == 1.0)))
+    i2 = np.asarray(A == 2.0)
+    s1, s2, sb = window_level_sums(packed, vi.reshape(-1, 4).T,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), i1 @ np.asarray(vi), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2), i2 @ np.asarray(vi), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(B) @ np.asarray(vi),
+                               rtol=2e-4)
+
+
 def test_window_stats_multi_tile():
     packed, eps, mave, mstd = _inputs(w=16, n=4096, seed=7)
     A, B = decode_planes(packed, jnp.float32)
