@@ -45,11 +45,15 @@ def _pick_tile(nb: int, preferred: int) -> int:
     return nb
 
 
-def _decode_k(pk, k):
-    # arithmetic decode from the two bits (no bool vectors — Mosaic relayout
-    # of i1 masks is unreliable): code 00->geno 2, 01->missing, 10->1, 11->0
-    bit0 = ((pk >> (2 * k)) & 1).astype(f32)
-    bit1 = ((pk >> (2 * k + 1)) & 1).astype(f32)
+def _decode_k(pk32, k):
+    """Arithmetic decode of bit-plane k from int32-widened packed bytes.
+
+    No bool vectors (Mosaic i1 relayout is unreliable), no u8 ops (u8 shifts
+    and u8->f32 casts don't legalize): callers pass pk.astype(int32) once.
+    Code 00 -> geno 2, 01 -> missing, 10 -> 1, 11 -> 0.
+    """
+    bit0 = ((pk32 >> (2 * k)) & 1).astype(f32)
+    bit1 = ((pk32 >> (2 * k + 1)) & 1).astype(f32)
     g = (1.0 - bit0) * (2.0 - bit1)
     m = 1.0 - bit0 * (1.0 - bit1)
     return g, m
@@ -64,11 +68,11 @@ def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
         if exact:
             gram_ref[:, :] = jnp.zeros_like(gram_ref)
 
-    pk = pk_ref[:, :]                      # (W, TB) uint8
+    pk32 = pk_ref[:, :].astype(jnp.int32)  # (W, TB) widened once
     mave = mave_ref[:, :]                  # (W, 1)
     mstd = mstd_ref[:, :]
     for k in range(4):
-        g, m = _decode_k(pk, k)
+        g, m = _decode_k(pk32, k)
         e = eps_ref[k, :].reshape(-1, 1)   # (TB, 1)
         s1_ref[:, :] += jnp.dot(g, e, preferred_element_type=f32).T
         s2_ref[:, :] += jnp.dot(m, e, preferred_element_type=f32).T
@@ -120,12 +124,12 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
 
 
 def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
-    pk = pk_ref[:, :]                       # (W, TB)
+    pk32 = pk_ref[:, :].astype(jnp.int32)   # (W, TB)
     c1 = c1_ref[:, :]                       # (1, W)
     c2 = c2_ref[:, :]
     rows = []
     for k in range(4):
-        g, m = _decode_k(pk, k)
+        g, m = _decode_k(pk32, k)
         contrib = (jnp.dot(c1, g, preferred_element_type=f32)
                    + jnp.dot(c2, m, preferred_element_type=f32))  # (1, TB)
         rows.append(contrib)
@@ -168,9 +172,9 @@ def _levels_kernel(pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
         s2_ref[:, :] = jnp.zeros_like(s2_ref)
         sm_ref[:, :] = jnp.zeros_like(sm_ref)
 
-    pk = pk_ref[:, :]
+    pk32 = pk_ref[:, :].astype(jnp.int32)
     for k in range(4):
-        g, m = _decode_k(pk, k)
+        g, m = _decode_k(pk32, k)
         i1 = g * (2.0 - g)          # 1 where genotype == 1
         i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
         v = v_ref[k, :].reshape(-1, 1)
