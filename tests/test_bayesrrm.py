@@ -142,6 +142,30 @@ def test_groups_recovery():
 
 
 @pytest.mark.slow
+def test_fh_recovers_sparse_signal():
+    """Horseshoe should recover few large effects and shrink the rest
+    (BayesFH semantics, BayesRRm.cpp:1125-1163 + FH branches)."""
+    ds, beta_true, _ = simulate(m=120, n=600, h2=0.5, frac_causal=0.05,
+                                seed=47)
+    sampler = BayesRRm(ds, window=4, fh=True, seed=49, mesh=make_mesh(2))
+    state = sampler.init_state()
+    bsum, cnt = 0.0, 0
+    for it in range(200):
+        state, stats = sampler.step(state, it)
+        if it >= 100:
+            bsum = bsum + sampler.beta_global(state)
+            cnt += 1
+    beta_mean = bsum / cnt
+    corr = np.corrcoef(beta_mean, beta_true)[0, 1]
+    assert corr > 0.6, corr
+    # shrinkage: null markers should have much smaller posterior means
+    causal = np.abs(beta_true) > 0
+    mean_null = np.abs(beta_mean[~causal]).mean()
+    mean_causal = np.abs(beta_mean[causal]).mean()
+    assert mean_causal > 3 * mean_null, (mean_causal, mean_null)
+
+
+@pytest.mark.slow
 def test_fh_smoke():
     ds, beta_true, _ = simulate(m=96, n=300, h2=0.5, seed=31)
     sampler = BayesRRm(ds, window=4, fh=True, seed=33, mesh=make_mesh(1))
