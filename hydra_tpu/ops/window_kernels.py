@@ -18,7 +18,11 @@ which is exactly the LUT dot product of BayesRRm.cpp:1774-1808 and the Gram
 matrix of the exact window scheme, in one pass over the packed bytes.
 
 All kernels tile the individual (byte) dimension via the Pallas grid and
-accumulate into their outputs across grid steps.
+accumulate into their outputs across grid steps. Dots use
+precision=HIGHEST: Pallas MXU dots otherwise round f32 inputs to bf16
+(~4e-3 relative error); the 3-pass f32 decomposition is ~free here because
+the kernels are HBM-bandwidth-bound, and keeps numerics at true f32 like
+the XLA fallback path.
 """
 
 from __future__ import annotations
@@ -73,12 +77,16 @@ def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
     mstd = mstd_ref[:, :]
     for k in range(4):
         g, m = _decode_k(pk32, k)
-        e = eps_ref[k, :].reshape(-1, 1)   # (TB, 1)
-        s1_ref[:, :] += jnp.dot(g, e, preferred_element_type=f32).T
-        s2_ref[:, :] += jnp.dot(m, e, preferred_element_type=f32).T
+        e = eps_ref[:, k:k + 1]            # (TB, 1) — plain column slice
+        # no in-kernel transposes: Mosaic relayouts can silently corrupt
+        s1_ref[:, :] += jnp.dot(g, e, preferred_element_type=f32, precision="highest")
+        s2_ref[:, :] += jnp.dot(m, e, preferred_element_type=f32, precision="highest")
         if exact:
             x = (g - mave * m) * mstd
-            gram_ref[:, :] += jnp.dot(x, x.T, preferred_element_type=f32)
+            gram_ref[:, :] += jax.lax.dot_general(
+                x, x, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
 
 
 def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
@@ -87,8 +95,8 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
                  ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """(s1, s2[, gram]) for a window.
 
-    packed: (W, NB) uint8; eps_d: (4, NB) f32 deinterleaved residual;
-    mave/mstd: (W,). NB must be a multiple of tile_bytes.
+    packed: (W, NB) uint8; eps_d: (NB, 4) f32 deinterleaved residual
+    (eps.reshape(-1, 4)); mave/mstd: (W,).
     """
     W, NB = packed.shape
     tb = _pick_tile(NB, tile_bytes)
@@ -98,18 +106,18 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
                 else jax.ShapeDtypeStruct(shape, f32))
 
-    out_shape = [sds((1, W)), sds((1, W)), sds((W, W) if exact else (8, 128))]
+    out_shape = [sds((W, 1)), sds((W, 1)), sds((W, W) if exact else (8, 128))]
     grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
             pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, W) if exact else (8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -120,20 +128,18 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
         out_shape=out_shape,
         interpret=interpret,
     )(packed, eps_d, mave.reshape(W, 1), mstd.reshape(W, 1))
-    return s1[0], s2[0], (gram if exact else None)
+    return s1[:, 0], s2[:, 0], (gram if exact else None)
 
 
 def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
     pk32 = pk_ref[:, :].astype(jnp.int32)   # (W, TB)
     c1 = c1_ref[:, :]                       # (1, W)
     c2 = c2_ref[:, :]
-    rows = []
     for k in range(4):
         g, m = _decode_k(pk32, k)
-        contrib = (jnp.dot(c1, g, preferred_element_type=f32)
-                   + jnp.dot(c2, m, preferred_element_type=f32))  # (1, TB)
-        rows.append(contrib)
-    out_ref[:, :] = jnp.concatenate(rows, axis=0)   # (4, TB)
+        contrib = (jnp.dot(c1, g, preferred_element_type=f32, precision="highest")
+                   + jnp.dot(c2, m, preferred_element_type=f32, precision="highest"))  # (1, TB)
+        out_ref[k:k + 1, :] = contrib
 
 
 def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
@@ -177,10 +183,10 @@ def _levels_kernel(pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
         g, m = _decode_k(pk32, k)
         i1 = g * (2.0 - g)          # 1 where genotype == 1
         i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
-        v = v_ref[k, :].reshape(-1, 1)
-        s1_ref[:, :] += jnp.dot(i1, v, preferred_element_type=f32).T
-        s2_ref[:, :] += jnp.dot(i2, v, preferred_element_type=f32).T
-        sm_ref[:, :] += jnp.dot(m, v, preferred_element_type=f32).T
+        v = v_ref[:, k:k + 1]       # (TB, 1)
+        s1_ref[:, :] += jnp.dot(i1, v, preferred_element_type=f32, precision="highest")
+        s2_ref[:, :] += jnp.dot(i2, v, preferred_element_type=f32, precision="highest")
+        sm_ref[:, :] += jnp.dot(m, v, preferred_element_type=f32, precision="highest")
 
 
 def window_level_sums(packed: jax.Array, vi_d: jax.Array,
@@ -189,37 +195,39 @@ def window_level_sums(packed: jax.Array, vi_d: jax.Array,
     """(sum_{g==1} vi, sum_{g==2} vi, sum_{mask} vi) per window marker.
 
     The BayesW partial sums (partial_sum BayesW.cpp:49-65) as one fused pass:
-    vi_d is the deinterleaved vi vector (4, NB).
+    vi_d is the deinterleaved vi vector (NB, 4).
     """
     W, NB = packed.shape
     tb = _pick_tile(NB, tile_bytes)
     grid = (NB // tb,)
 
     def sds():
-        return (jax.ShapeDtypeStruct((1, W), f32, vma=set(vma)) if vma
-                else jax.ShapeDtypeStruct((1, W), f32))
+        return (jax.ShapeDtypeStruct((W, 1), f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct((W, 1), f32))
 
     grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
             pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, W), lambda i: (0, 0),
+        out_specs=[pl.BlockSpec((W, 1), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
     )
     s1, s2, sb = pl.pallas_call(
         _levels_kernel, grid_spec=grid_spec,
         out_shape=[sds(), sds(), sds()], interpret=interpret,
     )(packed, vi_d)
-    return s1[0], s2[0], sb[0]
+    return s1[:, 0], s2[:, 0], sb[:, 0]
 
 
 def deinterleave(eps: jax.Array) -> jax.Array:
-    """eps (N,) -> (4, N/4) with eps_d[k, b] = eps[4b + k]."""
-    return eps.reshape(-1, 4).T
+    """eps (N,) -> (N/4, 4) with eps_d[b, k] = eps[4b + k] (a plain reshape —
+    no transpose, so Mosaic-side consumers see natural layout)."""
+    return eps.reshape(-1, 4)
 
 
-def interleave(eps_d: jax.Array) -> jax.Array:
-    """inverse of deinterleave: (4, NB) -> (4*NB,)."""
-    return eps_d.T.reshape(-1)
+def interleave(out4) -> jax.Array:
+    """(4, NB) plane-major output (window_axpy) -> (4*NB,) individual order.
+    The transpose happens in XLA outside any kernel."""
+    return out4.T.reshape(-1)

@@ -204,7 +204,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             # sees only the packed bytes, not W x N decoded planes
             from hydra_tpu.ops.window_kernels import window_stats
 
-            eps_d = eps.reshape(-1, 4).T
+            eps_d = eps.reshape(-1, 4)
             s1, s2, gram_fused = window_stats(
                 pk, eps_d, mave_w, mstd_w, cfg.exact, vma=(MARKER_AXIS,))
             base = mstd_w * (s1 - mave_w * s2)

@@ -229,7 +229,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             from hydra_tpu.ops.window_kernels import window_level_sums
 
             s1, s2, b_vi = window_level_sums(
-                pk, vi.reshape(-1, 4).T, vma=(MARKER_AXIS,))
+                pk, vi.reshape(-1, 4), vma=(MARKER_AXIS,))
         else:
             A, B = decode_planes(pk, f32)
             i1 = ((A == 1.0) & (B == 1.0)).astype(f32)
