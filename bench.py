@@ -30,29 +30,43 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BASELINE_MEASURED.json")
 
 
-def make_problem(m, n, seed=1):
+def _pack_block(geno, nbytes):
+    from hydra_tpu.io.plink import MISSING_CODE
+
+    blk, n = geno.shape
+    code = np.select([geno == 0, geno == 1, geno == 2],
+                     [0b11, 0b10, 0b00]).astype(np.uint8)
+    padded = np.full((blk, nbytes * 4), MISSING_CODE, dtype=np.uint8)
+    padded[:, :n] = code
+    return (padded[:, 0::4] | (padded[:, 1::4] << 2)
+            | (padded[:, 2::4] << 4) | (padded[:, 3::4] << 6)).astype(np.uint8)
+
+
+def make_problem(m, n, seed=1, block=4096):
+    """Synthetic problem, generated blockwise (UKB-scale M x N never needs a
+    dense float genotype matrix in host RAM)."""
     from hydra_tpu.data.genotypes import Dataset, GenotypeData, make_default_groups
-    from hydra_tpu.io.plink import MISSING_CODE, bed_bytes_per_marker
+    from hydra_tpu.io.plink import bed_bytes_per_marker, decode_bed_numpy
 
     rs = np.random.RandomState(seed)
     maf = rs.uniform(0.05, 0.5, m)
-    # pack directly from Binomial(2, maf) without materializing huge floats
-    geno = (rs.random((m, n)) < maf[:, None]).astype(np.uint8)
-    geno += (rs.random((m, n)) < maf[:, None]).astype(np.uint8)
-    code = np.select([geno == 0, geno == 1, geno == 2], [0b11, 0b10, 0b00]).astype(np.uint8)
     nbytes = bed_bytes_per_marker(n)
-    padded = np.full((m, nbytes * 4), MISSING_CODE, dtype=np.uint8)
-    padded[:, :n] = code
-    packed = (padded[:, 0::4] | (padded[:, 1::4] << 2)
-              | (padded[:, 2::4] << 4) | (padded[:, 3::4] << 6)).astype(np.uint8)
+    packed = np.empty((m, nbytes), dtype=np.uint8)
+    for s in range(0, m, block):
+        e = min(m, s + block)
+        p = maf[s:e, None]
+        geno = (rs.random((e - s, n)) < p).astype(np.uint8)
+        geno += (rs.random((e - s, n)) < p).astype(np.uint8)
+        packed[s:e] = _pack_block(geno, nbytes)
     gd = GenotypeData.from_packed(packed, n, np.array([], dtype=np.int64))
 
-    ncausal = m // 10
-    causal = rs.choice(m, ncausal, replace=False)
-    beta = np.zeros(m)
-    beta[causal] = rs.randn(ncausal) * np.sqrt(0.5 / ncausal)
-    xs = (geno.astype(np.float64) - gd.mave[:, None]) * gd.mstd[:, None]
-    y = xs.T @ beta + rs.randn(n) * np.sqrt(0.5)
+    # phenotype from a causal subset only (decode just those rows)
+    ncausal = max(10, min(m // 10, 2000))
+    causal = np.sort(rs.choice(m, ncausal, replace=False))
+    beta_c = rs.randn(ncausal) * np.sqrt(0.5 / ncausal)
+    g_c, mask_c = decode_bed_numpy(gd.packed[causal], n)
+    xs = (g_c - gd.mave[causal][:, None] * mask_c) * gd.mstd[causal][:, None]
+    y = xs.T @ beta_c + rs.randn(n) * np.sqrt(0.5)
     groups, mS = make_default_groups(m, [0.0001, 0.001, 0.01])
     return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
 
@@ -92,6 +106,39 @@ def measure_numpy_baseline(ds, sweeps=2):
     return per_sweep, True
 
 
+def run_bayesw_bench(ds, args):
+    """Weibull sampler throughput on a survival transform of the problem."""
+    import jax
+    from hydra_tpu.parallel.mesh import make_mesh
+    from hydra_tpu.samplers.bayesw import BayesW, EULER_MASCHERONI
+
+    rs = np.random.RandomState(9)
+    alpha_true = 10.0
+    w = np.log(rs.exponential(1.0, ds.n)) + EULER_MASCHERONI
+    ds.y = 4.0 + 0.02 * ds.y + w / alpha_true
+    ds.fail = (rs.random(ds.n) > 0.2).astype(np.float64)
+
+    sampler = BayesW(ds, window=args.window, seed=13, mesh=make_mesh(1),
+                     quad_points=25)
+    state = sampler.init_state()
+    state, _ = sampler.step(state, 0)
+    jax.block_until_ready(state.eps)
+    t0 = time.time()
+    for it in range(1, args.iters + 1):
+        state, _ = sampler.step(state, it)
+    jax.block_until_ready(state.eps)
+    per_sweep = (time.time() - t0) / args.iters
+    print(f"# per-sweep: {per_sweep * 1e3:.2f} ms  |  "
+          f"alpha = {float(state.alpha):.3f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"BayesW marker updates/s/chip (M={args.m}, N={args.n}, "
+                  f"window={args.window})",
+        "value": round(args.m / per_sweep, 1),
+        "unit": "markers/s",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=M_DEFAULT)
@@ -104,6 +151,8 @@ def main():
     # Gram-corrected sequential Gibbs (sync-rate=1 semantics).
     ap.add_argument("--exact", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--model", choices=["bayesrrm", "bayesw"],
+                    default="bayesrrm")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +160,10 @@ def main():
     from hydra_tpu.samplers.bayesrrm import BayesRRm
 
     ds = make_problem(args.m, args.n)
+
+    if args.model == "bayesw":
+        run_bayesw_bench(ds, args)
+        return
 
     baseline_s = None
     if not args.skip_baseline:

@@ -103,14 +103,56 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     sampler = BayesRRmMT(ds, phenos, window=opt.window,
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
                          n_devices=opt.n_devices)
-    state = sampler.init_state()
+    T = phenos.shape[0]
+    mcmc_out = opt.mcmc_out
+    start_it = 0
+    if opt.restart:
+        # per-trait restart files; state is rebuilt trait by trait
+        import jax.numpy as jnp
+        import jax as _jax
+        rds = [read_restart(mcmc_out + f".t{t}", ds.m, ds.n, opt.save,
+                            use_xfiles=opt.use_xfiles_in_restart)
+               for t in range(T)]
+        state = sampler.init_state()
+        eps = np.asarray(state.eps).copy()
+        beta = np.asarray(state.beta).copy()
+        comps = np.asarray(state.components).copy()
+        sel = sampler.slot_to_marker >= 0
+        for t, rd in enumerate(rds):
+            eps[: ds.n, t] = rd.eps
+            beta[sel, t] = rd.beta[sampler.slot_to_marker[sel]]
+            comps[sel, t] = rd.components[sampler.slot_to_marker[sel]]
+        state = state._replace(
+            eps=_jax.device_put(jnp.asarray(eps, jnp.float32), sampler._rep),
+            beta=_jax.device_put(jnp.asarray(beta, jnp.float32),
+                                 sampler._shard_m2),
+            components=_jax.device_put(jnp.asarray(comps, jnp.int32),
+                                       sampler._shard_m2),
+            mu=_jax.device_put(jnp.asarray([rd.mu for rd in rds], jnp.float32),
+                               sampler._rep),
+            sigma_e=_jax.device_put(
+                jnp.asarray([rd.sigma_e for rd in rds], jnp.float32),
+                sampler._rep),
+            sigma_g=_jax.device_put(
+                jnp.asarray(np.stack([rd.sigma_g for rd in rds]), jnp.float32),
+                sampler._rep),
+            est_pi=_jax.device_put(
+                jnp.asarray(np.stack([rd.est_pi for rd in rds]), jnp.float32),
+                sampler._rep),
+        )
+        start_it = rds[0].start_iteration
+        opt.mcmc_out_name += "_rs"
+        mcmc_out = opt.mcmc_out
+    else:
+        state = sampler.init_state()
     writers = [
-        McmcWriter(opt.mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
+        McmcWriter(mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
                    ds.mS.shape[1], opt.thin, opt.save, opt.seed)
-        for t in range(phenos.shape[0])
+        for t in range(T)
     ]
+    marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
     stats = None
-    for it in range(opt.chain_length):
+    for it in range(start_it, opt.chain_length):
         state, stats = sampler.step(state, it)
         if it % opt.thin == 0:
             beta_g = sampler.beta_global(state)
@@ -126,6 +168,16 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                     np.asarray(state.components)[sel, t]
                 w.on_thin(it, beta_g[:, t], comp_t, row,
                           float(np.asarray(state.mu)[t]))
+        if it > 0 and it % opt.save == 0:
+            eps_all = np.asarray(state.eps, dtype=np.float64)
+            beta_g = sampler.beta_global(state)
+            sel = sampler.slot_to_marker >= 0
+            for t, w in enumerate(writers):
+                comp_t = np.zeros(ds.m, dtype=np.int32)
+                comp_t[sampler.slot_to_marker[sel]] = \
+                    np.asarray(state.components)[sel, t]
+                w.on_save(it, eps_all[: ds.n, t], marker_order,
+                          beta_g[:, t], comp_t)
         if verbose and it % 10 == 0:
             sg = np.asarray(state.sigma_g).sum(axis=1)
             se = np.asarray(state.sigma_e)

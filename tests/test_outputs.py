@@ -176,6 +176,15 @@ def test_cli_multi_trait(tmp_path):
     for t in range(2):
         rows = open(os.path.join(out, f"mt.t{t}") + ".csv").read().strip().split("\n")
         assert len(rows) == 3
+    # restart continues each trait from the last save
+    _run_cli(["--mpibayes", "bayesMPI", "--bfile", base,
+              "--pheno", f"{base}.phen1,{base}.phen2",
+              "--mcmc-out-dir", out, "--mcmc-out-name", "mt",
+              "--chain-length", "10", "--thin", "2", "--save", "4",
+              "--seed", "4", "--S", "0.001,0.01,0.1", "--restart"])
+    for t in range(2):
+        rows = open(os.path.join(out, f"mt_rs.t{t}") + ".csv").read().strip().split("\n")
+        assert [int(r.split(",")[0]) for r in rows] == [6, 8]
 
 
 def test_bed_to_sparse_cli(tmp_path):
