@@ -34,8 +34,8 @@ def _pack_block(geno, nbytes):
     from hydra_tpu.io.plink import MISSING_CODE
 
     blk, n = geno.shape
-    code = np.select([geno == 0, geno == 1, geno == 2],
-                     [0b11, 0b10, 0b00]).astype(np.uint8)
+    # geno -> inverted PLINK code: 0->0b11, 1->0b10, 2->0b00
+    code = (3 - geno - (geno >> 1)).astype(np.uint8)
     padded = np.full((blk, nbytes * 4), MISSING_CODE, dtype=np.uint8)
     padded[:, :n] = code
     return (padded[:, 0::4] | (padded[:, 1::4] << 2)
@@ -48,16 +48,27 @@ def make_problem(m, n, seed=1, block=4096):
     from hydra_tpu.data.genotypes import Dataset, GenotypeData, make_default_groups
     from hydra_tpu.io.plink import bed_bytes_per_marker, decode_bed_numpy
 
+    from hydra_tpu import native
+
     rs = np.random.RandomState(seed)
+    rg = np.random.default_rng(seed + 1)
     maf = rs.uniform(0.05, 0.5, m)
     nbytes = bed_bytes_per_marker(n)
     packed = np.empty((m, nbytes), dtype=np.uint8)
+    # one byte draw per genotype, HWE thresholds:
+    # P(g=2) = p^2, P(g>=1) = 1-(1-p)^2  ->  g = (u < a) + (u < b)
+    thr_a = np.clip((1.0 - (1.0 - maf) ** 2) * 256.0, 1, 255).astype(np.uint8)
+    thr_b = np.clip((maf ** 2) * 256.0, 1, 255).astype(np.uint8)
     for s in range(0, m, block):
         e = min(m, s + block)
-        p = maf[s:e, None]
-        geno = (rs.random((e - s, n)) < p).astype(np.uint8)
-        geno += (rs.random((e - s, n)) < p).astype(np.uint8)
-        packed[s:e] = _pack_block(geno, nbytes)
+        u = np.frombuffer(rg.bytes((e - s) * n), dtype=np.uint8
+                          ).reshape(e - s, n)
+        blk = native.bed_generate(u, thr_a[s:e], thr_b[s:e], nbytes)
+        if blk is None:  # no toolchain: NumPy fallback
+            geno = ((u < thr_a[s:e, None]).astype(np.uint8)
+                    + (u < thr_b[s:e, None]).astype(np.uint8))
+            blk = _pack_block(geno, nbytes)
+        packed[s:e] = blk
     gd = GenotypeData.from_packed(packed, n, np.array([], dtype=np.int64))
 
     # phenotype from a causal subset only (decode just those rows)

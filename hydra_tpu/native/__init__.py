@@ -58,6 +58,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bed_sparse_fill.argtypes = [u8p, i64, i64, i64, i64p, i64p, i64p,
                                         u32p, u32p, u32p]
         lib.bed_dot.argtypes = [u8p, i64, i64, i64, f64p, f64p, f64p, f64p]
+        lib.bed_pack.argtypes = [u8p, i64, i64, u8p, i64]
+        lib.bed_generate.argtypes = [u8p, i64, i64, u8p, u8p, u8p, i64]
         _lib = lib
         return _lib
 
@@ -119,6 +121,30 @@ def bed_sparse_fill(packed: np.ndarray, n: int, s1, s2, sm, c1, c2, cm):
                         np.ascontiguousarray(s2, np.int64),
                         np.ascontiguousarray(sm, np.int64), i1, i2, im)
     return i1, i2, im
+
+
+def bed_pack(geno: np.ndarray, nbytes: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    m, n = geno.shape
+    out = np.empty((m, nbytes), np.uint8)
+    lib.bed_pack(np.ascontiguousarray(geno, np.uint8), m, n, out, nbytes)
+    return out
+
+
+def bed_generate(rand_bytes: np.ndarray, thr_a: np.ndarray, thr_b: np.ndarray,
+                 nbytes: int) -> Optional[np.ndarray]:
+    """HWE genotype generation + packing: g = (u < a) + (u < b) per marker."""
+    lib = _load()
+    if lib is None:
+        return None
+    m, n = rand_bytes.shape
+    out = np.empty((m, nbytes), np.uint8)
+    lib.bed_generate(np.ascontiguousarray(rand_bytes), m, n,
+                     np.ascontiguousarray(thr_a, np.uint8),
+                     np.ascontiguousarray(thr_b, np.uint8), out, nbytes)
+    return out
 
 
 def bed_dot(packed: np.ndarray, n: int, eps: np.ndarray, mave: np.ndarray,
