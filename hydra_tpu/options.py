@@ -86,6 +86,7 @@ class Options:
     window: int = 0                      # marker-window batch size; 0 → = sync_rate
     exact: bool = True                   # Gram-corrected exact sequential semantics
     n_devices: int = 0                   # 0 → all visible devices
+    ind_shards: int = 1                  # individual-axis mesh shards (N-sharding)
     dtype: str = "float32"               # accumulation dtype
 
     @property
@@ -203,6 +204,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--stale", action="store_true", dest="stale",
       help="use stale-window semantics instead of exact Gram-corrected Gibbs")
     a("--n-devices", dest="n_devices", type=int, default=0)
+    a("--ind-shards", dest="ind_shards", type=int, default=1,
+      help="shard the individual dimension over this many devices "
+           "(2-D markers x inds mesh; BayesRRm only)")
     return p
 
 
@@ -262,6 +266,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.window = ns.window
     opt.exact = not ns.stale
     opt.n_devices = ns.n_devices
+    opt.ind_shards = ns.ind_shards
     # read-source selection (main.cpp:67-136): bed if --bfile, sparse if --sparse-dir
     opt.read_from_bed_file = bool(opt.bed_file)
     opt.read_from_sparse_files = bool(opt.sparse_dir)

@@ -53,7 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.io.pheno import center_and_scale
 from hydra_tpu.ops.decode import decode_planes
-from hydra_tpu.parallel.mesh import MARKER_AXIS, make_mesh
+from hydra_tpu.parallel.mesh import IND_AXIS, MARKER_AXIS, make_mesh, mesh_axes
 from hydra_tpu.utils import dist
 
 # Hyper-priors (BayesRRm.h:29-34)
@@ -81,6 +81,7 @@ class BayesRRmConfig:
     k: int               # mixture components incl. zero
     num_groups: int
     n_cov: int
+    n_ind: int = 1       # individual-axis shards (2-D mesh); 1 = replicated eps
     exact: bool = True
     fh: bool = False
     shuffle: bool = True
@@ -137,6 +138,18 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     W = cfg.window
     dev = jax.lax.axis_index(MARKER_AXIS)
 
+    # Individual-axis sharding: eps / ind_mask / x_cov / packed byte columns
+    # arrive as local N/n_ind chunks; N-length reductions need one extra psum
+    # over IND_AXIS. With n_ind == 1 these are identity (no collective).
+    if cfg.n_ind > 1:
+        def psum_i(x):
+            return jax.lax.psum(x, IND_AXIS)
+        vma_axes = (MARKER_AXIS, IND_AXIS)
+    else:
+        def psum_i(x):
+            return x
+        vma_axes = (MARKER_AXIS,)
+
     base_key = jax.random.key(seed)
     it_key = jax.random.fold_in(base_key, it)
 
@@ -155,7 +168,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
     # ---- mu update (BayesRRm.cpp:1675-1686) ----
     eps = eps + state.mu * ind_mask
-    epssum = jnp.sum(eps)
+    epssum = psum_i(jnp.sum(eps))
     mu = dist.norm_rng(site(_S_MU), epssum / dN, sigma_e / dN)
     eps = eps - mu * ind_mask
 
@@ -206,13 +219,15 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
             eps_d = eps.reshape(-1, 4)
             s1, s2, gram_fused = window_stats(
-                pk, eps_d, mave_w, mstd_w, cfg.exact, vma=(MARKER_AXIS,))
-            base = mstd_w * (s1 - mave_w * s2)
+                pk, eps_d, mave_w, mstd_w, cfg.exact, vma=vma_axes)
+            base = psum_i(mstd_w * (s1 - mave_w * s2))
+            if gram_fused is not None:
+                gram_fused = psum_i(gram_fused)
             xt = None
         else:
             A, B = decode_planes(pk, f32)
-            xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N)
-            base = jnp.dot(xt, eps, preferred_element_type=f32)    # x~ . eps0
+            xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N_loc)
+            base = psum_i(jnp.dot(xt, eps, preferred_element_type=f32))
             gram_fused = None
 
         # group-dependent per-marker rows
@@ -285,7 +300,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             # Gram correction: num_j += sum_{k<j} dbeta_k Gram_jk recovers
             # exact sequential Gibbs; the scan carries the running epsilon
             # correction in marker space.
-            gram = jnp.dot(xt, xt.T, preferred_element_type=f32)
+            gram = psum_i(jnp.dot(xt, xt.T, preferred_element_type=f32))
 
             def marker_step(dbeta, j):
                 num_j = num0[j] + jnp.dot(gram[j], dbeta)
@@ -324,7 +339,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
             c1 = dbeta * mstd_w
             d_eps = window_axpy(pk, c1, -c1 * mave_w,
-                                vma=(MARKER_AXIS,)).T.reshape(-1)
+                                vma=vma_axes).T.reshape(-1)
         else:
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
         d_eps = jax.lax.psum(d_eps, MARKER_AXIS)
@@ -413,7 +428,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             eps, gamma = carry
             col = x_cov[:, xi[i]]
             g_old = gamma[xi[i]]
-            num_f = jnp.dot(col, eps + g_old * col, preferred_element_type=f32)
+            num_f = psum_i(
+                jnp.dot(col, eps + g_old * col, preferred_element_type=f32))
             g_new = num_f / denom_f + gdraws[i] * jnp.sqrt(sigma_e / denom_f)
             eps = eps + (g_old - g_new) * col
             gamma = gamma.at[xi[i]].set(g_new)
@@ -422,7 +438,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         (eps, gamma), _ = jax.lax.scan(cov_step, (eps, gamma), jnp.arange(cfg.n_cov))
 
     # ---- sigmaE (BayesRRm.cpp:2685-2690) ----
-    e_sqn = jnp.sum(eps * eps)
+    e_sqn = psum_i(jnp.sum(eps * eps))
     sigma_e = dist.inv_scaled_chisq_rng(
         site(_S_SIGMAE), V0E + dN, (e_sqn + V0E * S02E) / (V0E + dN))
 
@@ -446,10 +462,10 @@ class BayesRRm:
     def __init__(self, dataset: Dataset, *, window: int = 1, exact: bool = True,
                  fh: bool = False, shuffle: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 fh_params: Optional[dict] = None):
+                 n_ind: int = 1, fh_params: Optional[dict] = None):
         self.ds = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
-        n_dev = self.mesh.devices.size
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
+        n_dev, n_ind = mesh_axes(self.mesh)
         self.seed = seed
 
         geno = dataset.geno
@@ -458,9 +474,14 @@ class BayesRRm:
 
         K = dataset.mS.shape[1]
         fhp = fh_params or {}
+        if geno.n_pad % (4 * n_ind):
+            raise ValueError(
+                f"individual padding {geno.n_pad} not divisible by "
+                f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         self.cfg = BayesRRmConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
-            n_dev=n_dev, window=window, k=K, num_groups=dataset.num_groups,
+            n_dev=n_dev, n_ind=n_ind, window=window, k=K,
+            num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle,
             use_pallas=(jax.default_backend() == "tpu"),
@@ -491,8 +512,17 @@ class BayesRRm:
         self.slot_to_marker = slot_to_marker
 
         shard_m = NamedSharding(self.mesh, P(MARKER_AXIS))
-        shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
         rep = NamedSharding(self.mesh, P())
+        if cfg.n_ind > 1:
+            # 2-D layout: byte columns shard over the inds axis too, and the
+            # N-length vectors (eps, ind_mask, covariates) shard over inds.
+            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, IND_AXIS))
+            shard_i = NamedSharding(self.mesh, P(IND_AXIS))
+            shard_i2 = NamedSharding(self.mesh, P(IND_AXIS, None))
+        else:
+            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
+            shard_i = shard_i2 = rep
+        self._shard_i = shard_i
         put = jax.device_put
         self.packed = put(packed_g, shard_m2)
         self.groups = put(groups_g, shard_m)
@@ -521,14 +551,14 @@ class BayesRRm:
 
         ind_mask = np.zeros(geno.n_pad, dtype=np.float32)
         ind_mask[: geno.n] = 1.0
-        self.ind_mask = put(jnp.asarray(ind_mask), rep)
+        self.ind_mask = put(jnp.asarray(ind_mask), shard_i)
 
         if dataset.X is not None:
             xpad = np.zeros((geno.n_pad, dataset.X.shape[1]), dtype=np.float32)
             xpad[: geno.n] = dataset.X
-            self.x_cov = put(jnp.asarray(xpad), rep)
+            self.x_cov = put(jnp.asarray(xpad), shard_i2)
         else:
-            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), rep)
+            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), shard_i2)
 
         self._rep = rep
         self._shard_m = shard_m
@@ -574,7 +604,7 @@ class BayesRRm:
 
         put = jax.device_put
         return BayesRRmState(
-            eps=put(jnp.asarray(eps), self._rep),
+            eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
             components=put(jnp.zeros(cfg.m_glob, jnp.int32), self._shard_m),
             acum=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
@@ -605,7 +635,7 @@ class BayesRRm:
         comp_slot[sel] = rd.components[self.slot_to_marker[sel]]
         put = jax.device_put
         st = st._replace(
-            eps=put(jnp.asarray(eps), self._rep),
+            eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.asarray(beta_slot), self._shard_m),
             components=put(jnp.asarray(comp_slot), self._shard_m),
             mu=put(jnp.float32(rd.mu), self._rep),
@@ -633,10 +663,16 @@ class BayesRRm:
     def _build_step(self):
         cfg = self.cfg
         pm = P(MARKER_AXIS)
-        pm2 = P(MARKER_AXIS, None)
         rep = P()
+        if cfg.n_ind > 1:
+            pm2 = P(MARKER_AXIS, IND_AXIS)
+            pi = P(IND_AXIS)
+            pi2 = P(IND_AXIS, None)
+        else:
+            pm2 = P(MARKER_AXIS, None)
+            pi = pi2 = rep
         state_specs = BayesRRmState(
-            eps=rep, beta=pm, components=pm, acum=pm, mu=rep, sigma_e=rep,
+            eps=pi, beta=pm, components=pm, acum=pm, mu=rep, sigma_e=rep,
             sigma_g=rep, est_pi=rep, gamma=rep, lambda_var=pm, nu_var=pm,
             c_slab=rep, tau=rep, hyp_tau=rep)
         stats_specs = IterStats(m0=rep, cass=rep, beta_sqn=rep, sum_abs_dbeta=rep)
@@ -645,7 +681,7 @@ class BayesRRm:
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
             in_specs=(rep, rep, state_specs, pm2, pm, pm, pm, pm,
-                      rep, rep, rep, rep, rep, rep, rep),
+                      rep, rep, rep, rep, rep, pi, pi2),
             out_specs=(state_specs, stats_specs),
         )
 
