@@ -21,7 +21,7 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
     ds = dataset if dataset is not None else dataset_from_options(opt)
     sampler = BayesW(ds, window=opt.window, shuffle=bool(opt.shuffle_markers),
                      seed=opt.seed, quad_points=int(opt.quad_points),
-                     n_devices=opt.n_devices)
+                     n_devices=opt.n_devices, n_ind=opt.ind_shards)
 
     mcmc_out = opt.mcmc_out
     start_it = 0

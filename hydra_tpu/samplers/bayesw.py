@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes
-from hydra_tpu.parallel.mesh import MARKER_AXIS, make_mesh
+from hydra_tpu.parallel.mesh import IND_AXIS, MARKER_AXIS, make_mesh, mesh_axes
 from hydra_tpu.utils import dist
 from hydra_tpu.utils.slice_sampler import slice_sample
 
@@ -81,6 +81,7 @@ class BayesWConfig:
     k: int                    # mixtures incl. zero component
     num_groups: int
     n_cov: int
+    n_ind: int = 1            # individual-axis shards (2-D mesh)
     quad_n: int = 25
     shuffle: bool = True
     use_pallas: bool = False
@@ -122,6 +123,19 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     Q = cfg.quad_n
     dev = jax.lax.axis_index(MARKER_AXIS)
 
+    # N-sharding (see bayesrrm._local_iteration): partial N-length sums are
+    # combined with one psum over IND_AXIS; identity when n_ind == 1. The
+    # slice-sampler densities close over psummed scalars or do their own
+    # psum_i, so every inds replica runs an identical fixed-budget chain.
+    if cfg.n_ind > 1:
+        def psum_i(x):
+            return jax.lax.psum(x, IND_AXIS)
+        vma_axes = (MARKER_AXIS, IND_AXIS)
+    else:
+        def psum_i(x):
+            return x
+        vma_axes = (MARKER_AXIS,)
+
     base_key = jax.random.key(seed)
     it_key = jax.random.fold_in(base_key, it)
 
@@ -134,12 +148,12 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     alpha = state.alpha
     sigma_g = state.sigma_g
     pi_l = state.pi_l
-    d_events = jnp.sum(fail)
+    d_events = psum_i(jnp.sum(fail))
 
     # ---- 1. mu via slice sampling (mu_dens BayesW.cpp:77-88) ----
     # f_rel(x) = -alpha d x - w0 * expm1(-alpha (x - mu)) - x^2/(2 sigma_mu)
     # with w0 = sum exp(alpha*eps - EuMasc) (current residual scale)
-    w0 = jnp.sum(jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask)
+    w0 = psum_i(jnp.sum(jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask))
     mu_old = state.mu
 
     def mu_logf(x):
@@ -166,7 +180,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
 
             def g_logf(x):
                 return (-alpha * x * sum_fail_fix[j]
-                        - jnp.sum(w * jnp.expm1(-alpha * col * x))
+                        - psum_i(jnp.sum(w * jnp.expm1(-alpha * col * x)))
                         - x * x / (2.0 * SIGMA_MU))
 
             g_new = slice_sample(g_logf, g_old,
@@ -181,14 +195,14 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     # ---- 2. Weibull shape alpha (alpha_dens BayesW.cpp:132-142) ----
     # f_rel(x) = (a0+d-1)(log x - log a) + (x-a) C - sum vi_i expm1(eps_i (x-a))
     vi_cur = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask
-    c_lin = jnp.sum(eps * fail) - KAPPA_0
+    c_lin = psum_i(jnp.sum(eps * fail)) - KAPPA_0
 
     def alpha_logf(x):
         dx = x - alpha
         return ((ALPHA_0 + d_events - 1.0)
                 * (jnp.log(jnp.maximum(x, 1e-30)) - jnp.log(alpha))
                 + dx * c_lin
-                - jnp.sum(vi_cur * jnp.expm1(eps * dx)))
+                - psum_i(jnp.sum(vi_cur * jnp.expm1(eps * dx))))
 
     alpha = slice_sample(alpha_logf, alpha, site(_S_ALPHA),
                          width=0.1 * alpha, lower=jnp.float32(1e-6))
@@ -229,15 +243,16 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             from hydra_tpu.ops.window_kernels import window_level_sums
 
             s1, s2, b_vi = window_level_sums(
-                pk, vi.reshape(-1, 4), vma=(MARKER_AXIS,))
+                pk, vi.reshape(-1, 4), vma=vma_axes)
+            s1, s2, b_vi = psum_i(s1), psum_i(s2), psum_i(b_vi)
         else:
             A, B = decode_planes(pk, f32)
             i1 = ((A == 1.0) & (B == 1.0)).astype(f32)
             i2 = (A == 2.0).astype(f32)
-            s1 = jnp.dot(i1, vi, preferred_element_type=f32)
-            s2 = jnp.dot(i2, vi, preferred_element_type=f32)
-            b_vi = jnp.dot(B, vi, preferred_element_type=f32)
-        s_all = jnp.sum(vi)
+            s1 = psum_i(jnp.dot(i1, vi, preferred_element_type=f32))
+            s2 = psum_i(jnp.dot(i2, vi, preferred_element_type=f32))
+            b_vi = psum_i(jnp.dot(B, vi, preferred_element_type=f32))
+        s_all = psum_i(jnp.sum(vi))
         sm = s_all - b_vi                       # missing-genotype individuals
         s0 = s_all - s1 - s2 - sm
 
@@ -312,7 +327,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
 
             c1 = dbeta * inv_sd
             d_eps = window_axpy(pk, c1, -c1 * mave_w,
-                                vma=(MARKER_AXIS,)).T.reshape(-1)
+                                vma=vma_axes).T.reshape(-1)
         else:
             xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
@@ -359,12 +374,13 @@ class BayesW:
 
     def __init__(self, dataset: Dataset, *, window: int = 1,
                  shuffle: bool = True, seed: int = 0, quad_points: int = 25,
-                 mesh: Optional[Mesh] = None, n_devices: int = 0):
+                 mesh: Optional[Mesh] = None, n_devices: int = 0,
+                 n_ind: int = 1):
         if dataset.fail is None:
             raise ValueError("BayesW requires failure indicators (--failure)")
         self.ds = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
-        n_dev = self.mesh.devices.size
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
+        n_dev, n_ind = mesh_axes(self.mesh)
         self.seed = seed
 
         geno = dataset.geno
@@ -373,9 +389,14 @@ class BayesW:
         self.shard_starts, self.shard_lengths, self.m_loc = starts, lengths, m_loc
 
         K = dataset.mS.shape[1]
+        if geno.n_pad % (4 * n_ind):
+            raise ValueError(
+                f"individual padding {geno.n_pad} not divisible by "
+                f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         self.cfg = BayesWConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
-            n_dev=n_dev, window=window, k=K, num_groups=dataset.num_groups,
+            n_dev=n_dev, n_ind=n_ind, window=window, k=K,
+            num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             quad_n=quad_points, shuffle=shuffle,
             use_pallas=(jax.default_backend() == "tpu"))
@@ -418,8 +439,15 @@ class BayesW:
         self.slot_to_marker = slot_to_marker
 
         shard_m = NamedSharding(self.mesh, P(MARKER_AXIS))
-        shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
         rep = NamedSharding(self.mesh, P())
+        if cfg.n_ind > 1:
+            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, IND_AXIS))
+            shard_i = NamedSharding(self.mesh, P(IND_AXIS))
+            shard_i2 = NamedSharding(self.mesh, P(IND_AXIS, None))
+        else:
+            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
+            shard_i = shard_i2 = rep
+        self._shard_i = shard_i
         put = jax.device_put
         self.packed = put(packed_g, shard_m2)
         self.groups = put(groups_g, shard_m)
@@ -436,19 +464,19 @@ class BayesW:
 
         ind_mask = np.zeros(geno.n_pad, dtype=np.float32)
         ind_mask[: geno.n] = 1.0
-        self.ind_mask = put(jnp.asarray(ind_mask), rep)
+        self.ind_mask = put(jnp.asarray(ind_mask), shard_i)
         fail_pad = np.zeros(geno.n_pad, dtype=np.float32)
         fail_pad[: geno.n] = dataset.fail
-        self.fail = put(jnp.asarray(fail_pad), rep)
+        self.fail = put(jnp.asarray(fail_pad), shard_i)
 
         if dataset.X is not None:
             xpad = np.zeros((geno.n_pad, dataset.X.shape[1]), dtype=np.float32)
             xpad[: geno.n] = dataset.X
-            self.x_cov = put(jnp.asarray(xpad), rep)
+            self.x_cov = put(jnp.asarray(xpad), shard_i2)
             sff = dataset.X.T @ dataset.fail      # BayesW.cpp:1236-1239
             self.sum_fail_fix = put(jnp.asarray(sff, jnp.float32), rep)
         else:
-            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), rep)
+            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), shard_i2)
             self.sum_fail_fix = put(jnp.zeros((0,), jnp.float32), rep)
 
         self._rep = rep
@@ -476,7 +504,7 @@ class BayesW:
 
         put = jax.device_put
         return BayesWState(
-            eps=put(jnp.asarray(eps), self._rep),
+            eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
             components=put(jnp.zeros(cfg.m_glob, jnp.int32), self._shard_m),
             mu=put(jnp.float32(mu), self._rep),
@@ -498,7 +526,7 @@ class BayesW:
         comp_slot[sel] = rd.components[self.slot_to_marker[sel]]
         put = jax.device_put
         st = st._replace(
-            eps=put(jnp.asarray(eps), self._rep),
+            eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.asarray(beta_slot), self._shard_m),
             components=put(jnp.asarray(comp_slot), self._shard_m),
             mu=put(jnp.float32(rd.mu), self._rep),
@@ -513,10 +541,17 @@ class BayesW:
 
     # ------------------------------------------------------------------
     def _build_step(self):
+        cfg = self.cfg
         pm = P(MARKER_AXIS)
-        pm2 = P(MARKER_AXIS, None)
         rep = P()
-        state_specs = BayesWState(eps=rep, beta=pm, components=pm, mu=rep,
+        if cfg.n_ind > 1:
+            pm2 = P(MARKER_AXIS, IND_AXIS)
+            pi = P(IND_AXIS)
+            pi2 = P(IND_AXIS, None)
+        else:
+            pm2 = P(MARKER_AXIS, None)
+            pi = pi2 = rep
+        state_specs = BayesWState(eps=pi, beta=pm, components=pm, mu=rep,
                                   alpha=rep, sigma_g=rep, pi_l=rep, gamma=rep)
         stats_specs = BayesWStats(m0=rep, cass=rep, beta_sqn=rep)
 
@@ -524,7 +559,7 @@ class BayesW:
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
             in_specs=(rep, rep, state_specs, pm2, pm, pm, pm, pm, pm,
-                      rep, rep, rep, rep, rep, rep),
+                      rep, rep, pi, pi, pi2, rep),
             out_specs=(state_specs, stats_specs),
         )
 

@@ -79,3 +79,26 @@ def test_ind_sharding_with_covariates_and_fh():
                                np.asarray(st_2d.gamma), atol=2e-4)
     np.testing.assert_allclose(ref.beta_global(st_ref),
                                two_d.beta_global(st_2d), atol=2e-4)
+
+
+def test_bayesw_ind_sharding_matches_replicated():
+    """BayesW under a (2 markers x 4 inds) mesh vs (2 markers x 1): the
+    N-length partial sums (vi level sums, slice-density sums) psum over the
+    inds axis; the chains must agree up to psum float ordering."""
+    from hydra_tpu.samplers.bayesw import BayesW
+    from tests.test_bayesw import simulate_weibull
+
+    ds, _, _, _ = simulate_weibull(m=48, n=300, seed=41)
+    ref = BayesW(ds, window=4, seed=29, mesh=make_mesh(2), shuffle=False)
+    two_d = BayesW(ds, window=4, seed=29, mesh=make_mesh(8, n_ind=4),
+                   shuffle=False)
+    st_ref, st_2d = ref.init_state(), two_d.init_state()
+    for it in range(3):
+        st_ref, _ = ref.step(st_ref, it)
+        st_2d, _ = two_d.step(st_2d, it)
+    np.testing.assert_allclose(float(st_ref.alpha), float(st_2d.alpha),
+                               rtol=1e-3)
+    np.testing.assert_allclose(ref.beta_global(st_ref),
+                               two_d.beta_global(st_2d), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st_ref.eps),
+                               np.asarray(st_2d.eps), atol=3e-4)
