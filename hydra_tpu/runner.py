@@ -102,7 +102,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                       groups=grp, mS=mS, S=opt.S)
     sampler = BayesRRmMT(ds, phenos, window=opt.window,
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
-                         n_devices=opt.n_devices)
+                         n_devices=opt.n_devices, n_ind=opt.ind_shards)
     T = phenos.shape[0]
     mcmc_out = opt.mcmc_out
     start_it = 0
@@ -123,7 +123,8 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
             beta[sel, t] = rd.beta[sampler.slot_to_marker[sel]]
             comps[sel, t] = rd.components[sampler.slot_to_marker[sel]]
         state = state._replace(
-            eps=_jax.device_put(jnp.asarray(eps, jnp.float32), sampler._rep),
+            eps=_jax.device_put(jnp.asarray(eps, jnp.float32),
+                                sampler._shard_i2),
             beta=_jax.device_put(jnp.asarray(beta, jnp.float32),
                                  sampler._shard_m2),
             components=_jax.device_put(jnp.asarray(comps, jnp.int32),

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes
-from hydra_tpu.parallel.mesh import MARKER_AXIS, make_mesh
+from hydra_tpu.parallel.mesh import IND_AXIS, MARKER_AXIS, make_mesh, mesh_axes
 from hydra_tpu.samplers.bayesrrm import S02E, V0E, V0G_DEFAULT, S02G_DEFAULT
 from hydra_tpu.utils import dist
 
@@ -54,6 +54,7 @@ class MtConfig:
     k: int
     num_groups: int
     n_traits: int
+    n_ind: int = 1
     shuffle: bool = True
 
     @property
@@ -90,6 +91,15 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     W = cfg.window
     dev = jax.lax.axis_index(MARKER_AXIS)
 
+    # N-sharding (see bayesrrm._local_iteration): eps/trait_mask/packed byte
+    # columns arrive as local inds chunks; identity psum when n_ind == 1.
+    if cfg.n_ind > 1:
+        def psum_i(x):
+            return jax.lax.psum(x, IND_AXIS)
+    else:
+        def psum_i(x):
+            return x
+
     it_key = jax.random.fold_in(jax.random.key(seed), it)
 
     def site(s):
@@ -106,7 +116,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
 
     # ---- per-trait mu updates ----
     eps = eps + state.mu[None, :] * trait_mask
-    epssum = jnp.sum(eps, axis=0)      # (T,)
+    epssum = psum_i(jnp.sum(eps, axis=0))      # (T,)
     mu = dist.norm_rng(site(_S_MU), epssum / dN, sigma_e / dN, (T,))
     eps = eps - mu[None, :] * trait_mask
 
@@ -141,8 +151,8 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         nrm_w = jnp.take(n_loc, idx, axis=0)
 
         A, B = decode_planes(pk, f32)               # (W, N)
-        s1 = jnp.dot(A, eps, preferred_element_type=f32)   # (W, T)
-        s2 = jnp.dot(B, eps, preferred_element_type=f32)
+        s1 = psum_i(jnp.dot(A, eps, preferred_element_type=f32))   # (W, T)
+        s2 = psum_i(jnp.dot(B, eps, preferred_element_type=f32))
         num0 = mstd_w * (s1 - mave_w * s2) + bold_w * dNm1[None, :]
 
         sig_g_w = jnp.transpose(sigma_g, (1, 0))[grp_w]     # (W, T)
@@ -218,7 +228,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     pi_draw = dist.dirichlet_rng(site(_S_PI), cass + 1.0)
     est_pi = jnp.where(skip[:, :, None], est_pi, pi_draw)
 
-    e_sqn = jnp.sum(eps * eps, axis=0)                       # (T,)
+    e_sqn = psum_i(jnp.sum(eps * eps, axis=0))               # (T,)
     keys_e = jax.random.split(site(_S_SIGMAE), T)
     sigma_e = jax.vmap(dist.inv_scaled_chisq_rng)(
         keys_e, V0E + dN, (e_sqn + V0E * S02E) / (V0E + dN))
@@ -238,10 +248,11 @@ class BayesRRmMT:
 
     def __init__(self, dataset: Dataset, phenos: np.ndarray, *,
                  window: int = 1, shuffle: bool = True, seed: int = 0,
-                 mesh: Optional[Mesh] = None, n_devices: int = 0):
+                 mesh: Optional[Mesh] = None, n_devices: int = 0,
+                 n_ind: int = 1):
         self.ds = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
-        n_dev = self.mesh.devices.size
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
+        n_dev, n_ind = mesh_axes(self.mesh)
         self.seed = seed
         geno = dataset.geno
         T, n = phenos.shape
@@ -252,10 +263,14 @@ class BayesRRmMT:
                                               dataset.blocks)
         self.shard_starts, self.shard_lengths, self.m_loc = starts, lengths, m_loc
         K = dataset.mS.shape[1]
+        if geno.n_pad % (4 * n_ind):
+            raise ValueError(
+                f"individual padding {geno.n_pad} not divisible by "
+                f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
-            shuffle=shuffle)
+            n_ind=n_ind, shuffle=shuffle)
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes
@@ -309,8 +324,15 @@ class BayesRRmMT:
         shard_m = NamedSharding(self.mesh, P(MARKER_AXIS))
         shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
         rep = NamedSharding(self.mesh, P())
+        if cfg.n_ind > 1:
+            shard_mb = NamedSharding(self.mesh, P(MARKER_AXIS, IND_AXIS))
+            shard_i2 = NamedSharding(self.mesh, P(IND_AXIS, None))
+        else:
+            shard_mb = shard_m2
+            shard_i2 = rep
+        self._shard_i2 = shard_i2
         put = jax.device_put
-        self.packed = put(packed_g, shard_m2)
+        self.packed = put(packed_g, shard_mb)
         self.groups = put(groups_g, shard_m)
         self.mave = put(mave_g, shard_m2)
         self.mstd = put(mstd_g, shard_m2)
@@ -325,7 +347,7 @@ class BayesRRmMT:
             jnp.int32), rep)
         tm = np.zeros((geno.n_pad, T), dtype=np.float32)
         tm[: geno.n] = mask.T
-        self.trait_mask = put(jnp.asarray(tm), rep)
+        self.trait_mask = put(jnp.asarray(tm), shard_i2)
         self.n_per_trait = put(jnp.asarray(nonas, jnp.float32), rep)
         self._rep, self._shard_m, self._shard_m2 = rep, shard_m, shard_m2
         self._step = self._build_step()
@@ -345,7 +367,7 @@ class BayesRRmMT:
         pi0[:, :, 1:] = 0.5 * (mS[:, 1:] / denom)[None, :, :]
         put = jax.device_put
         return MtState(
-            eps=put(jnp.asarray(eps), self._rep),
+            eps=put(jnp.asarray(eps), self._shard_i2),
             beta=put(jnp.zeros((cfg.m_glob, T), jnp.float32), self._shard_m2),
             components=put(jnp.zeros((cfg.m_glob, T), jnp.int32), self._shard_m2),
             mu=put(jnp.zeros(T, jnp.float32), self._rep),
@@ -355,17 +377,24 @@ class BayesRRmMT:
         )
 
     def _build_step(self):
+        cfg = self.cfg
         pm = P(MARKER_AXIS)
         pm2 = P(MARKER_AXIS, None)
         rep = P()
-        state_specs = MtState(eps=rep, beta=pm2, components=pm2, mu=rep,
+        if cfg.n_ind > 1:
+            pmb = P(MARKER_AXIS, IND_AXIS)
+            pi2 = P(IND_AXIS, None)
+        else:
+            pmb = pm2
+            pi2 = rep
+        state_specs = MtState(eps=pi2, beta=pm2, components=pm2, mu=rep,
                               sigma_e=rep, sigma_g=rep, est_pi=rep)
         stats_specs = MtStats(m0=rep, cass=rep, beta_sqn=rep)
         fn = functools.partial(_local_iteration, self.cfg)
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
-            in_specs=(rep, rep, state_specs, pm2, pm, pm2, pm2, pm,
-                      rep, rep, rep, rep, rep),
+            in_specs=(rep, rep, state_specs, pmb, pm, pm2, pm2, pm,
+                      rep, rep, rep, pi2, rep),
             out_specs=(state_specs, stats_specs))
 
         def raw_step(seed, it, state):

@@ -102,3 +102,28 @@ def test_bayesw_ind_sharding_matches_replicated():
                                two_d.beta_global(st_2d), atol=3e-4)
     np.testing.assert_allclose(np.asarray(st_ref.eps),
                                np.asarray(st_2d.eps), atol=3e-4)
+
+
+def test_multitrait_ind_sharding_matches_replicated():
+    """BayesRRm-mt: (2 markers x 4 inds) vs (2 markers), 2 traits with NaN
+    masks — per-trait chains agree up to psum ordering."""
+    from hydra_tpu.samplers.bayesrrm_mt import BayesRRmMT
+
+    ds, _, _ = simulate(m=64, n=300, h2=0.5, seed=51)
+    rs = np.random.RandomState(11)
+    phenos = np.stack([ds.y, ds.y[::-1].copy()])
+    phenos[0, rs.choice(ds.n, 20, replace=False)] = np.nan
+    ref = BayesRRmMT(ds, phenos, window=4, seed=53, mesh=make_mesh(2),
+                     shuffle=False)
+    two_d = BayesRRmMT(ds, phenos, window=4, seed=53,
+                       mesh=make_mesh(8, n_ind=4), shuffle=False)
+    st_ref, st_2d = ref.init_state(), two_d.init_state()
+    for it in range(3):
+        st_ref, _ = ref.step(st_ref, it)
+        st_2d, _ = two_d.step(st_2d, it)
+    np.testing.assert_allclose(ref.beta_global(st_ref),
+                               two_d.beta_global(st_2d), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st_ref.eps),
+                               np.asarray(st_2d.eps), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st_ref.sigma_e),
+                               np.asarray(st_2d.sigma_e), rtol=2e-3)
