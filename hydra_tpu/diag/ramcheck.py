@@ -13,19 +13,25 @@ from hydra_tpu.options import Options
 
 
 def estimate_bytes(m_tot: int, n: int, n_chips: int, window: int,
-                   k: int = 4, num_groups: int = 1) -> dict:
+                   k: int = 4, num_groups: int = 1, n_ind: int = 1) -> dict:
+    """Per-chip HBM for an (n_chips/n_ind markers) x (n_ind inds) mesh.
+
+    n_ind > 1 (--ind-shards) divides every N-length buffer — residual,
+    workspace planes, genotype byte columns — by the inds axis size."""
     n_pad = ((n + IND_ALIGN - 1) // IND_ALIGN) * IND_ALIGN
-    m_loc = -(-m_tot // n_chips)
+    n_marker_chips = max(1, n_chips // max(n_ind, 1))
+    n_loc = -(-n_pad // max(n_ind, 1))
+    m_loc = -(-m_tot // n_marker_chips)
     m_loc = -(-m_loc // window) * window
-    geno = m_loc * (n_pad // 4)                    # packed 2-bit genotypes
-    eps = 2 * n_pad * 4                            # eps + delta buffer
+    geno = m_loc * (n_loc // 4)                    # packed 2-bit genotypes
+    eps = 2 * n_loc * 4                            # eps + delta buffer
     marker_state = m_loc * (4 + 4 + 4 + 4 + 4 + 4)  # beta/comp/acum/mave/mstd/valid
-    window_ws = window * n_pad * 4 * 2             # decoded planes (transient)
+    window_ws = window * n_loc * 4 * 2             # decoded planes (transient)
     gram = window * window * 4
     total = geno + eps + marker_state + window_ws + gram
     return dict(geno=geno, eps=eps, marker_state=marker_state,
                 window_ws=window_ws, gram=gram, total=total,
-                m_loc=m_loc, n_pad=n_pad)
+                m_loc=m_loc, n_pad=n_pad, n_loc=n_loc)
 
 
 def check_ram_usage(opt: Options) -> dict:
@@ -33,9 +39,11 @@ def check_ram_usage(opt: Options) -> dict:
     n = opt.number_individuals or plink.read_fam(opt.bed_file + ".fam").n
     m = opt.number_markers or plink.read_bim(opt.bed_file + ".bim").m
     chips = max(1, opt.check_ram_tasks or 1)
-    est = estimate_bytes(m, n, chips, max(opt.window, 1))
+    est = estimate_bytes(m, n, chips, max(opt.window, 1),
+                         n_ind=max(getattr(opt, "ind_shards", 1), 1))
     gb = est["total"] / 1e9
-    print(f"INFO   : M={m} N={n} over {chips} chip(s), window={opt.window}")
+    print(f"INFO   : M={m} N={n} over {chips} chip(s), window={opt.window}, "
+          f"ind-shards={getattr(opt, 'ind_shards', 1)}")
     print(f"INFO   : per-chip HBM estimate: {gb:.3f} GB "
           f"(geno {est['geno'] / 1e9:.3f}, workspace {est['window_ws'] / 1e9:.3f})")
     hbm_per_chip = 16e9  # v5e class
