@@ -206,7 +206,20 @@ def build_parser() -> argparse.ArgumentParser:
     a("--n-devices", dest="n_devices", type=int, default=0)
     a("--ind-shards", dest="ind_shards", type=int, default=1,
       help="shard the individual dimension over this many devices "
-           "(2-D markers x inds mesh; BayesRRm only)")
+           "(2-D markers x inds mesh)")
+    # Reference-compat flags. --raw-update selects a numerically identical
+    # epsilon update formula in the reference's 1-rank path (BayesW.cpp:1812)
+    # -> accepted no-op. The PPBayes/preprocess flags select the non-MPI
+    # preprocessed-BED engine the reference declares but does not build
+    # (SURVEY dead/legacy: src/limitsequencegraph.cpp) -> explicit error.
+    a("--raw-update", action="store_true", dest="raw_update")
+    for dead in ("--ppbayes", "--ppasyncbayes"):
+        a(dead, dest="dead_analysis", action="store",
+          metavar="TYPE", default="", help=argparse.SUPPRESS)
+    a("--preprocess", action="store_true", dest="dead_preprocess",
+      help=argparse.SUPPRESS)
+    a("--compress", action="store_true", dest="dead_preprocess",
+      help=argparse.SUPPRESS)
     return p
 
 
@@ -267,6 +280,11 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.exact = not ns.stale
     opt.n_devices = ns.n_devices
     opt.ind_shards = ns.ind_shards
+    if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
+        raise SystemExit(
+            "FATAL  : the PPBayes/preprocess path is not built in the "
+            "reference and is not reproduced here; use --mpibayes "
+            "bayesMPI|bayesWMPI|bayesFHMPI (SURVEY.md layer map, dead/legacy)")
     # read-source selection (main.cpp:67-136): bed if --bfile, sparse if --sparse-dir
     opt.read_from_bed_file = bool(opt.bed_file)
     opt.read_from_sparse_files = bool(opt.sparse_dir)
