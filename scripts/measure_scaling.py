@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--window", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--devices", default="")
+    ap.add_argument("--ind-shards", type=int, default=1,
+                    help="fixed inds-axis size: each entry of --devices is "
+                         "the total device count of a (d/K, K) mesh")
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh")
     args = ap.parse_args()
@@ -49,7 +52,7 @@ def main():
     print(f"{'devices':>8} {'ms/sweep':>10} {'markers/s':>12} {'efficiency':>10}")
     for nd in counts:
         s = BayesRRm(ds, window=args.window, exact=False, seed=3,
-                     mesh=make_mesh(nd))
+                     mesh=make_mesh(nd, n_ind=args.ind_shards))
         st = s.init_state()
         st, _ = s.step(st, 0)
         jax.block_until_ready(st.eps)
