@@ -29,8 +29,13 @@ def main(argv=None) -> int:
         m = opt.number_markers or plink.read_bim(opt.bed_file + ".bim").m
         out = (opt.sparse_dir + "/" + opt.sparse_basename
                if opt.sparse_dir else opt.bed_file)
-        print(f"INFO   : converting {opt.bed_file}.bed (M={m}, N={n}) -> {out}.s*")
-        write_sparse_files(opt.bed_file + ".bed", n, m, out)
+        # --blocks-per-rank splits the conversion into independent passes to
+        # bound memory (BayesRRm.cpp:469-471; single logical rank here)
+        block_size = min(8192, -(-m // max(1, opt.blocks_per_rank)))
+        print(f"INFO   : converting {opt.bed_file}.bed (M={m}, N={n}) -> {out}.s* "
+              f"in blocks of {block_size} markers")
+        write_sparse_files(opt.bed_file + ".bed", n, m, out,
+                           block_size=block_size)
         return 0
 
     if opt.check_ram:
@@ -52,8 +57,8 @@ def main(argv=None) -> int:
         run_bayesw(opt)
         return 0
 
-    print(f"FATAL  : Wrong analysis requested: {opt.analysis_type} + {opt.bayes_type}",
-          file=sys.stderr)
+    print(f"FATAL  : Wrong analysis requested: {opt.bayes_type!r} "
+          f"(expected bayesMPI | bayesWMPI | bayesFHMPI)", file=sys.stderr)
     return 1
 
 

@@ -15,6 +15,7 @@ and lay everything out for the device mesh:
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -150,7 +151,26 @@ def load_dataset(
             fam = plink.read_fam(bed_basename + ".fam")
             bim = plink.read_bim(bed_basename + ".bim")
             n, m = fam.n, bim.m
+        t0 = time.perf_counter()
         packed = plink.read_bed(bed_basename + ".bed", n, m)
+        tl = time.perf_counter() - t0
+        # data-load bandwidth log (BayesRRm.cpp:1420-1424)
+        print(f"INFO   : rank   0 took {tl:.3f} seconds to load  "
+              f"{packed.nbytes} bytes  =>  BW = {packed.nbytes * 1e-9 / max(tl, 1e-9):7.3f} GB/s",
+              flush=True)
+        if sparse_basename:
+            # "BOTH" / mixed representation (main.cpp:134, C7): the dense
+            # packed-byte device format subsumes the per-marker BED/sparse
+            # choice with identical numerics (io/sparse.py docstring). The
+            # sparse .dim is still read to cross-check the two sources agree.
+            sn, sm = sparse_io.read_dim(sparse_basename)
+            if (sn, sm) != (n, m):
+                raise ValueError(
+                    f"mixed representation: sparse files are ({sm} x {sn}) "
+                    f"but BED is ({m} x {n})")
+            print("INFO   : mixed representation requested; the packed-BED "
+                  "device format subsumes it (threshold-fnz moot, numerics "
+                  "identical)", flush=True)
     elif sparse_basename:
         sp = sparse_io.read_sparse_files(sparse_basename)
         n, m = sp.n, sp.m

@@ -97,15 +97,20 @@ def write_sparse_files(
         fh.write(f"{n} {m}\n")
 
 
+def read_dim(basename: str) -> Tuple[int, int]:
+    """(N, M) from the text .dim file (data.cpp:1072-1079)."""
+    with open(basename + ".dim") as fh:
+        parts = fh.read().split()
+    return int(parts[0]), int(parts[1])
+
+
 def read_sparse_files(
     basename: str,
     marker_start: int = 0,
     marker_count: Optional[int] = None,
 ) -> SparseGenotypes:
     """Read a marker slice from sparse files (data.cpp:742-823, :1072-1106)."""
-    with open(basename + ".dim") as fh:
-        parts = fh.read().split()
-    n, m = int(parts[0]), int(parts[1])
+    n, m = read_dim(basename)
     if marker_count is None:
         marker_count = m - marker_start
 

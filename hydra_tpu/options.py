@@ -20,7 +20,6 @@ from typing import List, Optional
 @dataclass
 class Options:
     # --- analysis selection (options.hpp:62-64, main.cpp:47-177) ---
-    analysis_type: str = "RAM"           # reference: analysisType ("RAM" for MPI runs)
     bayes_type: str = ""                 # bayesMPI | bayesWMPI | bayesFHMPI
     bed_to_sparse: bool = False          # --bed-to-sparse (C6 converter)
     blocks_per_rank: int = 1             # --blocks-per-rank
@@ -52,6 +51,7 @@ class Options:
     chain_length: int = 10000            # --chain-length
     burnin: int = 5000                   # --burn-in
     seed: int = 0                        # --seed (default: time(0), options.hpp:104)
+    seed_given: bool = False             # True when --seed was passed explicitly
     thin: int = 5                        # --thin
     save: int = 10                       # --save
     S: List[float] = field(default_factory=lambda: [0.01, 0.001, 0.0001])  # --S
@@ -63,6 +63,7 @@ class Options:
     # --- outputs (options.hpp:73-75) ---
     mcmc_out_dir: str = ""               # --mcmc-out-dir
     mcmc_out_name: str = "default_output_name"  # --mcmc-out-name
+    title: str = "brr"                   # --out (run label, options.cpp:247-249)
     restart: bool = False                # --restart
     use_xfiles_in_restart: bool = True   # negated by --ignore-xfiles
 
@@ -80,7 +81,9 @@ class Options:
 
     # --- multi-trait ---
     multi_phen: bool = False             # set when --pheno has >1 file
-    interleave: bool = False             # --interleave-phenotypes
+    interleave: bool = False             # --interleave-phenotypes: AoS vs SoA
+    # epsilon layout in the reference (BayesRRm_mt.cpp:449-520); an XLA
+    # layout detail here — accepted no-op, numerics identical
 
     # --- TPU-specific (no reference equivalent) ---
     window: int = 0                      # marker-window batch size; 0 → = sync_rate
@@ -104,10 +107,15 @@ class Options:
         if self.seed == 0:
             self.seed = int(time.time())
         # save must be >= thin and a multiple of thin (BayesRRm.cpp:1058-1066)
+        requested_save = self.save
         if self.save < self.thin:
             self.save = self.thin
         if self.save % self.thin != 0:
             self.save = (self.save // self.thin) * self.thin
+        if self.save != requested_save:
+            print(f"INFO   : --save {requested_save} adjusted to {self.save} "
+                  f"(must be a multiple of --thin {self.thin}, "
+                  f"BayesRRm.cpp:1058-1066)", flush=True)
         if (self.group_index_file == "") != (self.group_mixture_file == ""):
             raise ValueError(
                 "you need to activate both --groupIndexFile and --groupMixtureFile"
@@ -150,6 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="hydra-tpu",
         description="TPU-native Bayesian whole-genome regression (hydra rebuild)",
+        allow_abbrev=False,
     )
     a = p.add_argument
     a("--inp-file", default="", help="key-value option file (options.cpp:335)")
@@ -188,6 +197,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bed-sync", action="store_true", dest="bed_sync")
     a("--mcmc-out-dir", dest="mcmc_out_dir", default="")
     a("--mcmc-out-name", dest="mcmc_out_name", default="default_output_name")
+    a("--out", dest="title", default="brr",
+      help="run title/label (options.cpp:247-249)")
+    # declared but commented out in the reference (options.hpp:25,
+    # options.cpp:37-42 inside /* */) — accepted as a documented no-op
+    a("--mpiBayesGroups", action="store_true", dest="mpi_bayes_groups",
+      help=argparse.SUPPRESS)
     a("--restart", action="store_true", dest="restart")
     a("--ignore-xfiles", action="store_true", dest="ignore_xfiles")
     a("--quad_points", dest="quad_points", default="25")
@@ -207,6 +222,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--ind-shards", dest="ind_shards", type=int, default=1,
       help="shard the individual dimension over this many devices "
            "(2-D markers x inds mesh)")
+    a("--dtype", dest="dtype", default="float32",
+      choices=["float32", "float64"],
+      help="sampler accumulation dtype; float64 needs JAX_ENABLE_X64 "
+           "(the reference is f64 end-to-end)")
     # Reference-compat flags. --raw-update selects a numerically identical
     # epsilon update formula in the reference's 1-rank path (BayesW.cpp:1812)
     # -> accepted no-op. The PPBayes/preprocess flags select the non-MPI
@@ -225,10 +244,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_args(argv: Optional[List[str]] = None) -> Options:
     parser = build_parser()
-    ns, _unknown = parser.parse_known_args(argv)
+    ns, unknown = parser.parse_known_args(argv)
     if ns.inp_file:
         file_argv = _read_option_file(ns.inp_file)
-        ns, _unknown = parser.parse_known_args(file_argv + (argv or []))
+        ns, unknown = parser.parse_known_args(file_argv + (argv or []))
+    if unknown:
+        # the reference rejects unrecognised flags (options.cpp:292-296)
+        raise SystemExit(f'Error: invalid option "{unknown[0]}".')
 
     opt = Options()
     opt.bayes_type = ns.bayes_type
@@ -256,6 +278,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.chain_length = ns.chain_length
     opt.burnin = ns.burnin
     opt.seed = ns.seed
+    opt.seed_given = ns.seed != 0
     opt.thin = ns.thin
     opt.save = ns.save
     opt.S = [float(s) for s in str(ns.S).split(",") if s]
@@ -265,6 +288,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.bed_sync = ns.bed_sync
     opt.mcmc_out_dir = ns.mcmc_out_dir
     opt.mcmc_out_name = ns.mcmc_out_name
+    opt.title = ns.title
     opt.restart = ns.restart
     opt.use_xfiles_in_restart = not ns.ignore_xfiles
     opt.quad_points = ns.quad_points
@@ -280,6 +304,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.exact = not ns.stale
     opt.n_devices = ns.n_devices
     opt.ind_shards = ns.ind_shards
+    opt.dtype = ns.dtype
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
         raise SystemExit(
             "FATAL  : the PPBayes/preprocess path is not built in the "

@@ -31,6 +31,8 @@ class RestartData:
     eps: np.ndarray              # (Ntot,)
     marker_order: np.ndarray
     seed: int
+    rng_window: Optional[int] = None   # chain schedule saved in .rng.0
+    rng_exact: Optional[bool] = None
     gamma: Optional[np.ndarray] = None
     x_order: Optional[np.ndarray] = None
     fh_state: Optional[dict] = None
@@ -153,9 +155,20 @@ def read_restart(mcmc_out: str, mtot: int, ntot: int, save: int,
     gamma = x_order = None
     if covariates and not survival and os.path.exists(mcmc_out + ".gam.0"):
         gamma = _read_tagged_vector(mcmc_out + ".gam.0", np.float64, it)
+    elif covariates and survival and os.path.exists(mcmc_out + ".gam"):
+        # BayesW writes gamma as text rows "it, g0, g1, ..."; restart takes
+        # the row tagged with the restart iteration
+        # (read_mcmc_output_gam_file_bW, data.cpp:621-665)
+        with open(mcmc_out + ".gam") as fh:
+            for line in fh:
+                tok = [t.strip() for t in line.split(",")]
+                if len(tok) > 1 and int(tok[0]) == it:
+                    gamma = np.asarray([float(v) for v in tok[1:]])
     if covariates:
         xiv = mcmc_out + (".xiv" if survival else ".xiv.0")
-        if os.path.exists(xiv):
+        # the covariate order is re-derived from (seed, iteration) by the
+        # counter-based RNG; read the dump only when present and non-empty
+        if os.path.exists(xiv) and os.path.getsize(xiv) >= 8:
             x_order = _read_tagged_vector(xiv, np.int32, it)
 
     fh_state = None
@@ -163,15 +176,12 @@ def read_restart(mcmc_out: str, mtot: int, ntot: int, save: int,
         with np.load(mcmc_out + ".fh.npz") as z:
             fh_state = {k: z[k] for k in z.files}
 
-    if survival:
-        mu_final = mu
-    else:
-        mu_final = mu
     return RestartData(
         iteration=it, start_iteration=it + 1, sigma_g=sigma_g, sigma_e=sigma_e,
-        est_pi=est_pi, mu=mu_final, beta=beta, components=comps, eps=eps,
-        marker_order=marker_order, seed=int(rng["seed"]), gamma=gamma,
-        x_order=x_order, fh_state=fh_state, alpha=alpha, pi_l=pi_l)
+        est_pi=est_pi, mu=mu, beta=beta, components=comps, eps=eps,
+        marker_order=marker_order, seed=int(rng["seed"]),
+        rng_window=rng.get("window"), rng_exact=rng.get("exact"),
+        gamma=gamma, x_order=x_order, fh_state=fh_state, alpha=alpha, pi_l=pi_l)
 
 
 def _read_mu(mus_path: str, expected_it: int) -> float:

@@ -44,12 +44,14 @@ class McmcWriter:
     def __init__(self, mcmc_out: str, mtot: int, ntot: int, num_groups: int,
                  k: int, thin: int, save: int, seed: int,
                  covariates: bool = False, survival: bool = False,
-                 make_tarball: bool = False):
+                 make_tarball: bool = False, window: int = 0,
+                 exact: bool = True):
         self.base = mcmc_out
         self.mtot, self.ntot = mtot, ntot
         self.num_groups, self.k = num_groups, k
         self.thin, self.save = thin, save
         self.seed = seed
+        self.window, self.exact = window, exact
         self.covariates = covariates
         self.survival = survival
         self.make_tarball = make_tarball
@@ -162,8 +164,13 @@ class McmcWriter:
                 fh.write(it_u.tobytes())
                 fh.write(np.asarray([len(x_order)], dtype=np.uint32).tobytes())
                 fh.write(x_order.astype(np.int32).tobytes())
+        # complete RNG state: counter-based keys re-derive all randomness from
+        # (seed, iteration); window/exact pin the chain schedule so a restart
+        # reproduces the uninterrupted chain bitwise (the equivalent of the
+        # reference's boost state dump, distributions_boost.cpp:38-55)
         with open(self.base + ".rng.0", "w") as fh:
-            json.dump({"seed": self.seed, "iteration": it}, fh)
+            json.dump({"seed": self.seed, "iteration": it,
+                       "window": self.window, "exact": self.exact}, fh)
         if fh_state is not None:
             np.savez(self.base + ".fh.npz", **fh_state)
         if self.make_tarball:

@@ -39,6 +39,8 @@ def _read_records(path: str, dtype):
 
 
 def beta_convert(path: str, niter: int, out=sys.stdout):
+    """Emit records 0..niter INCLUSIVE — the reference's own loop is
+    `for (iter=0; iter<=niter; ++iter)` (postproc/beta_converter.cpp:41)."""
     for i, (it, vals) in enumerate(_read_records(path, np.float64)):
         if i > niter:
             break

@@ -19,6 +19,7 @@ from hydra_tpu.options import Options
 from hydra_tpu.outputs.restart import read_restart
 from hydra_tpu.outputs.writers import McmcWriter
 from hydra_tpu.samplers.bayesrrm import BayesRRm
+from hydra_tpu.utils import telemetry
 
 
 def dataset_from_options(opt: Options) -> Dataset:
@@ -100,19 +101,22 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         mS = groups_io.read_ms_file(opt.group_mixture_file)
     ds = load_dataset(bed_basename=opt.bed_file, pheno=ph, n=n, m=m,
                       groups=grp, mS=mS, S=opt.S)
-    sampler = BayesRRmMT(ds, phenos, window=opt.window,
-                         shuffle=bool(opt.shuffle_markers), seed=opt.seed,
-                         n_devices=opt.n_devices, n_ind=opt.ind_shards)
     T = phenos.shape[0]
     mcmc_out = opt.mcmc_out
-    start_it = 0
+    rds = None
     if opt.restart:
         # per-trait restart files; state is rebuilt trait by trait
-        import jax.numpy as jnp
-        import jax as _jax
         rds = [read_restart(mcmc_out + f".t{t}", ds.m, ds.n, opt.save,
                             use_xfiles=opt.use_xfiles_in_restart)
                for t in range(T)]
+        apply_restart_rng(opt, rds[0])
+    sampler = BayesRRmMT(ds, phenos, window=opt.window,
+                         shuffle=bool(opt.shuffle_markers), seed=opt.seed,
+                         n_devices=opt.n_devices, n_ind=opt.ind_shards)
+    start_it = 0
+    if rds is not None:
+        import jax.numpy as jnp
+        import jax as _jax
         state = sampler.init_state()
         eps = np.asarray(state.eps).copy()
         beta = np.asarray(state.beta).copy()
@@ -148,7 +152,8 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         state = sampler.init_state()
     writers = [
         McmcWriter(mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
-                   ds.mS.shape[1], opt.thin, opt.save, opt.seed)
+                   ds.mS.shape[1], opt.thin, opt.save, opt.seed,
+                   window=opt.window, exact=False)
         for t in range(T)
     ]
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
@@ -187,36 +192,70 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     return dict(state=state, stats=stats, sampler=sampler)
 
 
+def apply_restart_rng(opt: Options, rd) -> None:
+    """Continue the saved chain's RNG stream (the reference restores the full
+    boost state from .rng.<rank>, BayesRRm.cpp:1204,
+    distributions_boost.cpp:38-55). The counter-based equivalent: adopt the
+    saved seed — never the fresh time(0) default — and keep the saved chain
+    schedule (window/exact) so the restarted chain is bitwise identical to
+    the uninterrupted one."""
+    if opt.seed_given and opt.seed != rd.seed:
+        print(f"WARNING: --seed {opt.seed} differs from the saved RNG state "
+              f"(seed {rd.seed}); using the saved seed to continue the chain",
+              flush=True)
+    opt.seed = rd.seed
+    if rd.rng_window is not None and rd.rng_window != opt.window:
+        print(f"WARNING: restart with --window {opt.window} but the chain was "
+              f"saved with window {rd.rng_window}; the restarted chain will "
+              f"not reproduce the uninterrupted one", flush=True)
+    if rd.rng_exact is not None and rd.rng_exact != opt.exact:
+        print(f"WARNING: restart with exact={opt.exact} but the chain was "
+              f"saved with exact={rd.rng_exact}; the restarted chain will "
+              f"not reproduce the uninterrupted one", flush=True)
+
+
 def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
                  verbose: bool = True) -> dict:
     """Full BayesRRm/FH chain with hydra-format outputs and restart."""
     ds = dataset if dataset is not None else dataset_from_options(opt)
     fh = opt.bayes_type == "bayesFHMPI"
-    sampler = BayesRRm(
-        ds, window=opt.window, exact=opt.exact, fh=fh,
-        shuffle=bool(opt.shuffle_markers), seed=opt.seed,
-        n_devices=opt.n_devices, n_ind=opt.ind_shards,
-        fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
-                       s02c=opt.s02c, tau0=opt.tau0))
 
     mcmc_out = opt.mcmc_out
-    start_it = 0
+    rd = None
     if opt.restart:
         rd = read_restart(mcmc_out, ds.m, ds.n, opt.save,
                           use_xfiles=opt.use_xfiles_in_restart,
                           covariates=opt.covariates)
-        state = sampler.init_state_from_restart(rd)
-        start_it = rd.start_iteration
+        apply_restart_rng(opt, rd)
         # outputs renamed *_rs so the original files survive (BayesRRm.cpp:1206-1222)
         opt.mcmc_out_name += "_rs"
         mcmc_out = opt.mcmc_out
+
+    sampler = BayesRRm(
+        ds, window=opt.window, exact=opt.exact, fh=fh,
+        shuffle=bool(opt.shuffle_markers), seed=opt.seed,
+        n_devices=opt.n_devices, n_ind=opt.ind_shards, dtype=opt.dtype,
+        fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
+                       s02c=opt.s02c, tau0=opt.tau0))
+
+    if rd is not None:
+        state = sampler.init_state_from_restart(rd)
+        start_it = rd.start_iteration
     else:
         state = sampler.init_state()
+        start_it = 0
 
     writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups,
                         ds.mS.shape[1], opt.thin, opt.save, opt.seed,
-                        covariates=opt.covariates)
+                        covariates=opt.covariates,
+                        window=opt.window, exact=opt.exact)
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
+
+    # collective-cost profile for the reference's proc/sync telemetry
+    # (BayesRRm.cpp:2713-2722; see utils/telemetry.py for methodology)
+    prof = telemetry.measure_sync_profile(
+        sampler.mesh, sampler.cfg.n_pad, sampler.cfg.n_windows,
+        n_ind=sampler.cfg.n_ind) if verbose else telemetry.SyncProfile()
 
     tot_proc = 0.0
     stats = None
@@ -247,15 +286,29 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
             writer.on_save(it, eps, marker_order, sampler.beta_global(state),
                            sampler.components_global(state),
                            gamma=np.asarray(state.gamma, dtype=np.float64),
+                           x_order=(sampler.cov_order(it)
+                                    if opt.covariates else None),
                            fh_state=fh_state)
         dt = time.time() - t0
         tot_proc += dt
+        # the reference prints RESULT every iteration on rank%10==0 ranks;
+        # the single logical rank here reports every 10th iteration so the
+        # host<->device pull does not throttle the async dispatch chain
         if verbose and it % 10 == 0:
             sg = float(np.asarray(state.sigma_g).sum())
             se = float(state.sigma_e)
-            print(f"RESULT : it {it:4d}: proc = {dt:9.3f} s, sigmaG = {sg:.10f}, "
-                  f"sigmaE = {se:.10f}, h2 = {sg / (sg + se):.6f}, "
-                  f"m0 = {int(np.asarray(stats.m0).sum()):d}", flush=True)
+            print(telemetry.result_line(
+                it, dt, prof, sg, se,
+                float(np.asarray(stats.beta_sqn).sum()),
+                int(np.asarray(stats.m0).sum())), flush=True)
+            print(telemetry.cass_table(
+                it, np.asarray(sampler.mtot_grp), np.asarray(state.sigma_g),
+                np.asarray(stats.cass)), flush=True)
+
+    n_done = opt.chain_length - start_it
+    if verbose and n_done > 0:
+        print(telemetry.exit_line(tot_proc, prof, n_done), flush=True)
 
     return dict(state=state, stats=stats, sampler=sampler,
-                total_seconds=tot_proc, mcmc_out=mcmc_out)
+                total_seconds=tot_proc, mcmc_out=mcmc_out,
+                sync_profile=prof)

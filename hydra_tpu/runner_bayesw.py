@@ -19,26 +19,33 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
     from hydra_tpu.runner import dataset_from_options
 
     ds = dataset if dataset is not None else dataset_from_options(opt)
+
+    mcmc_out = opt.mcmc_out
+    rd = None
+    if opt.restart:
+        from hydra_tpu.runner import apply_restart_rng
+        rd = read_restart(mcmc_out, ds.m, ds.n, opt.save,
+                          use_xfiles=opt.use_xfiles_in_restart,
+                          covariates=opt.covariates, survival=True)
+        apply_restart_rng(opt, rd)
+        opt.mcmc_out_name += "_rs"
+        mcmc_out = opt.mcmc_out
+
     sampler = BayesW(ds, window=opt.window, shuffle=bool(opt.shuffle_markers),
                      seed=opt.seed, quad_points=int(opt.quad_points),
                      n_devices=opt.n_devices, n_ind=opt.ind_shards)
 
-    mcmc_out = opt.mcmc_out
-    start_it = 0
-    if opt.restart:
-        rd = read_restart(mcmc_out, ds.m, ds.n, opt.save,
-                          use_xfiles=opt.use_xfiles_in_restart,
-                          covariates=opt.covariates, survival=True)
+    if rd is not None:
         state = sampler.init_state_from_restart(rd)
         start_it = rd.start_iteration
-        opt.mcmc_out_name += "_rs"
-        mcmc_out = opt.mcmc_out
     else:
         state = sampler.init_state()
+        start_it = 0
 
     writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups, ds.mS.shape[1],
                         opt.thin, opt.save, opt.seed,
-                        covariates=opt.covariates, survival=True)
+                        covariates=opt.covariates, survival=True,
+                        window=opt.window, exact=False)
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     stats = None
@@ -61,7 +68,9 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
         if it > 0 and it % opt.save == 0:
             eps = np.asarray(state.eps, dtype=np.float64)[: ds.n]
             writer.on_save(it, eps, marker_order, sampler.beta_global(state),
-                           sampler.components_global(state))
+                           sampler.components_global(state),
+                           x_order=(sampler.cov_order(it)
+                                    if opt.covariates else None))
         if verbose and it % 10 == 0:
             print(f"{it}. m0={int(np.asarray(stats.m0).sum())}; "
                   f"mu={float(state.mu):.5f}; alpha={float(state.alpha):.5f}; "

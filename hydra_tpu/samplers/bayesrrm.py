@@ -86,6 +86,7 @@ class BayesRRmConfig:
     fh: bool = False
     shuffle: bool = True
     use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
+    dtype: str = "float32"     # accumulation dtype (--dtype; reference is f64)
     # FH hyper-priors (options.hpp:89-96)
     v0L: float = 3.0
     v0t: float = 3.0
@@ -131,7 +132,11 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                      packed, groups, mave, mstd, valid,
                      cva, cvai, dirc, sigma_priors, mtot_grp, ind_mask, x_cov):
     """One Gibbs sweep on the local marker shard (runs under shard_map)."""
-    f32 = jnp.float32
+    f32 = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    mave, mstd = mave.astype(f32), mstd.astype(f32)
+    valid, ind_mask, x_cov = valid.astype(f32), ind_mask.astype(f32), x_cov.astype(f32)
+    cva, cvai, dirc = cva.astype(f32), cvai.astype(f32), dirc.astype(f32)
+    sigma_priors = sigma_priors.astype(f32)
     dN = f32(cfg.n_real)
     dNm1 = f32(cfg.n_real - 1)
     km1 = cfg.k - 1
@@ -462,7 +467,12 @@ class BayesRRm:
     def __init__(self, dataset: Dataset, *, window: int = 1, exact: bool = True,
                  fh: bool = False, shuffle: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1, fh_params: Optional[dict] = None):
+                 n_ind: int = 1, fh_params: Optional[dict] = None,
+                 dtype: str = "float32"):
+        if dtype == "float64" and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "--dtype float64 requires x64 mode "
+                "(jax.config.update('jax_enable_x64', True) or JAX_ENABLE_X64=1)")
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
         n_dev, n_ind = mesh_axes(self.mesh)
@@ -483,8 +493,8 @@ class BayesRRm:
             n_dev=n_dev, n_ind=n_ind, window=window, k=K,
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
-            exact=exact, fh=fh, shuffle=shuffle,
-            use_pallas=(jax.default_backend() == "tpu"),
+            exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
+            use_pallas=(jax.default_backend() == "tpu" and dtype == "float32"),
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),
             tau0=fhp.get("tau0", 1.0),
@@ -568,9 +578,10 @@ class BayesRRm:
     def init_state(self) -> BayesRRmState:
         """init_from_scratch equivalent (BayesRRm.cpp:1224-1240, :1564-1584)."""
         cfg = self.cfg
+        fdt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         key = jax.random.key(self.seed)
         y = center_and_scale(self.ds.y)
-        eps = np.zeros(cfg.n_pad, dtype=np.float32)
+        eps = np.zeros(cfg.n_pad, dtype=fdt)
         eps[: cfg.n_real] = y
         sigma_e = float(np.sum(y * y) / cfg.n_real * 0.5)
 
@@ -605,19 +616,19 @@ class BayesRRm:
         put = jax.device_put
         return BayesRRmState(
             eps=put(jnp.asarray(eps), self._shard_i),
-            beta=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
+            beta=put(jnp.zeros(cfg.m_glob, fdt), self._shard_m),
             components=put(jnp.zeros(cfg.m_glob, jnp.int32), self._shard_m),
-            acum=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
-            mu=put(jnp.float32(0.0), self._rep),
-            sigma_e=put(jnp.float32(sigma_e), self._rep),
-            sigma_g=put(jnp.asarray(sg, jnp.float32), self._rep),
-            est_pi=put(jnp.asarray(pi0, jnp.float32), self._rep),
-            gamma=put(jnp.zeros(max(cfg.n_cov, 0), jnp.float32), self._rep),
-            lambda_var=put(jnp.full(cfg.m_glob, lam0, jnp.float32), self._shard_m),
-            nu_var=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
-            c_slab=put(jnp.asarray(c_slab, jnp.float32), self._rep),
-            tau=put(jnp.float32(tau), self._rep),
-            hyp_tau=put(jnp.float32(hyp_tau), self._rep),
+            acum=put(jnp.zeros(cfg.m_glob, fdt), self._shard_m),
+            mu=put(fdt(0.0), self._rep),
+            sigma_e=put(fdt(sigma_e), self._rep),
+            sigma_g=put(jnp.asarray(sg, fdt), self._rep),
+            est_pi=put(jnp.asarray(pi0, fdt), self._rep),
+            gamma=put(jnp.zeros(max(cfg.n_cov, 0), fdt), self._rep),
+            lambda_var=put(jnp.full(cfg.m_glob, lam0, fdt), self._shard_m),
+            nu_var=put(jnp.zeros(cfg.m_glob, fdt), self._shard_m),
+            c_slab=put(jnp.asarray(c_slab, fdt), self._rep),
+            tau=put(fdt(tau), self._rep),
+            hyp_tau=put(fdt(hyp_tau), self._rep),
         )
 
     # ------------------------------------------------------------------
@@ -625,10 +636,11 @@ class BayesRRm:
         """Rebuild device state from a RestartData (init_from_restart,
         BayesRRm.cpp:842-928). Resumes at rd.start_iteration."""
         cfg = self.cfg
+        fdt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         st = self.init_state()
-        eps = np.zeros(cfg.n_pad, dtype=np.float32)
+        eps = np.zeros(cfg.n_pad, dtype=fdt)
         eps[: cfg.n_real] = rd.eps
-        beta_slot = np.zeros(cfg.m_glob, dtype=np.float32)
+        beta_slot = np.zeros(cfg.m_glob, dtype=fdt)
         comp_slot = np.zeros(cfg.m_glob, dtype=np.int32)
         sel = self.slot_to_marker >= 0
         beta_slot[sel] = rd.beta[self.slot_to_marker[sel]]
@@ -638,24 +650,24 @@ class BayesRRm:
             eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.asarray(beta_slot), self._shard_m),
             components=put(jnp.asarray(comp_slot), self._shard_m),
-            mu=put(jnp.float32(rd.mu), self._rep),
-            sigma_e=put(jnp.float32(rd.sigma_e), self._rep),
-            sigma_g=put(jnp.asarray(rd.sigma_g, jnp.float32), self._rep),
-            est_pi=put(jnp.asarray(rd.est_pi, jnp.float32), self._rep),
+            mu=put(fdt(rd.mu), self._rep),
+            sigma_e=put(fdt(rd.sigma_e), self._rep),
+            sigma_g=put(jnp.asarray(rd.sigma_g, fdt), self._rep),
+            est_pi=put(jnp.asarray(rd.est_pi, fdt), self._rep),
         )
         if rd.gamma is not None and cfg.n_cov > 0:
-            st = st._replace(gamma=put(jnp.asarray(rd.gamma, jnp.float32), self._rep))
+            st = st._replace(gamma=put(jnp.asarray(rd.gamma, fdt), self._rep))
         if rd.fh_state is not None and cfg.fh:
-            lam_slot = np.ones(cfg.m_glob, dtype=np.float32)
-            nu_slot = np.zeros(cfg.m_glob, dtype=np.float32)
+            lam_slot = np.ones(cfg.m_glob, dtype=fdt)
+            nu_slot = np.zeros(cfg.m_glob, dtype=fdt)
             lam_slot[sel] = rd.fh_state["lambda_var"][self.slot_to_marker[sel]]
             nu_slot[sel] = rd.fh_state["nu_var"][self.slot_to_marker[sel]]
             st = st._replace(
                 lambda_var=put(jnp.asarray(lam_slot), self._shard_m),
                 nu_var=put(jnp.asarray(nu_slot), self._shard_m),
-                c_slab=put(jnp.asarray(rd.fh_state["c_slab"], jnp.float32), self._rep),
-                tau=put(jnp.float32(rd.fh_state["tau"]), self._rep),
-                hyp_tau=put(jnp.float32(rd.fh_state["hyp_tau"]), self._rep),
+                c_slab=put(jnp.asarray(rd.fh_state["c_slab"], fdt), self._rep),
+                tau=put(fdt(rd.fh_state["tau"]), self._rep),
+                hyp_tau=put(fdt(rd.fh_state["hyp_tau"]), self._rep),
             )
         return st
 
@@ -701,6 +713,15 @@ class BayesRRm:
         return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
 
     # ------------------------------------------------------------------
+    def cov_order(self, iteration: int) -> np.ndarray:
+        """The covariate processing order used at `iteration` (re-derives the
+        in-step permutation; written to .xiv.0 for reference format parity —
+        counter-based restart never consumes it)."""
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(self.seed), iteration), _S_COVPERM)
+        return np.asarray(jax.random.permutation(key, self.cfg.n_cov),
+                          dtype=np.int32)
+
     def beta_global(self, state: BayesRRmState) -> np.ndarray:
         """Gather beta into reference marker order (Mtot,)."""
         return self._to_marker_order(np.asarray(state.beta, dtype=np.float64))

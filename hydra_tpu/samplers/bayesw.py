@@ -576,6 +576,13 @@ class BayesW:
         return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
 
     # ------------------------------------------------------------------
+    def cov_order(self, iteration: int) -> np.ndarray:
+        """Covariate processing order at `iteration` (.xiv format parity)."""
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(self.seed), iteration), _S_COVPERM)
+        return np.asarray(jax.random.permutation(key, self.cfg.n_cov),
+                          dtype=np.int32)
+
     def beta_global(self, state) -> np.ndarray:
         out = np.zeros(self.cfg.m_tot)
         sel = self.slot_to_marker >= 0

@@ -96,6 +96,61 @@ def test_cli_restart(small_run):
     assert [int(r.split(",")[0]) for r in rows0] == [0, 2, 4, 6, 8]
 
 
+def test_cli_restart_bitwise_no_seed(tmp_path):
+    """Restart must continue the SAVED RNG stream without re-passing --seed
+    (the reference restores the boost state from .rng.<rank>,
+    BayesRRm.cpp:1204): full chain == truncated + --restart, bitwise, with
+    covariates exercised (.gam.0/.xiv.0 round trip)."""
+    base, _ = make_synthetic_bed(tmp_path, 40, 100, seed=26)
+    _write_phen(base, 100)
+    rs = np.random.RandomState(27)
+    with open(base + ".cov", "w") as fh:
+        for i in range(100):
+            fh.write(f"per{i} per{i} {rs.randn():.5f} {rs.randn():.5f}\n")
+    out = str(tmp_path / "outb")
+    common = ["--mpibayes", "bayesMPI", "--bfile", base, "--pheno", base + ".phen",
+              "--covariates", base + ".cov", "--mcmc-out-dir", out,
+              "--thin", "2", "--save", "4", "--S", "0.001,0.01,0.1",
+              "--n-devices", "2"]
+    _run_cli(common + ["--mcmc-out-name", "full", "--chain-length", "20",
+                       "--seed", "31"])
+    _run_cli(common + ["--mcmc-out-name", "cut", "--chain-length", "10",
+                       "--seed", "31"])
+    # NOTE: no --seed here — it must come from cut.rng.0
+    _run_cli(common + ["--mcmc-out-name", "cut", "--chain-length", "20",
+                       "--restart"])
+    fb, rb = os.path.join(out, "full"), os.path.join(out, "cut_rs")
+    full_rows = {int(r.split(",")[0]): r.strip()
+                 for r in open(fb + ".csv").read().strip().split("\n")}
+    rs_rows = {int(r.split(",")[0]): r.strip()
+               for r in open(rb + ".csv").read().strip().split("\n")}
+    assert sorted(rs_rows) == [10, 12, 14, 16, 18]
+    for it, row in rs_rows.items():
+        assert row == full_rows[it], f"csv row for it {it} differs"
+
+    def _records(path, dtype, m=40):
+        raw = open(path, "rb").read()
+        rec, out_d = 4 + m * np.dtype(dtype).itemsize, {}
+        for r in range((len(raw) - 4) // rec):
+            chunk = raw[4 + r * rec: 4 + (r + 1) * rec]
+            out_d[int(np.frombuffer(chunk[:4], np.uint32)[0])] = chunk[4:]
+        return out_d
+
+    full_bet, rs_bet = _records(fb + ".bet", np.float64), _records(rb + ".bet", np.float64)
+    for it in rs_bet:
+        assert rs_bet[it] == full_bet[it], f".bet record for it {it} differs"
+    # .xiv.0 written and readable (covariate order dump)
+    raw = open(rb + ".xiv.0", "rb").read()
+    it, ncov = np.frombuffer(raw[:8], np.uint32)
+    assert (it, ncov) == (16, 2)
+
+
+def test_unknown_flag_rejected():
+    from hydra_tpu.options import parse_args
+    with pytest.raises(SystemExit, match="invalid option"):
+        parse_args(["--mpibayes", "bayesMPI", "--no-such-flag", "1"])
+
+
 def test_cli_na_phenotypes(tmp_path):
     """NA test equivalent of srun_NA_test.sh: run with NAs, outputs well-formed."""
     base, _ = make_synthetic_bed(tmp_path, 32, 90, seed=8)
