@@ -224,7 +224,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
             eps_d = eps.reshape(-1, 4)
             s1, s2, gram_fused = window_stats(
-                pk, eps_d, mave_w, mstd_w, cfg.exact, vma=vma_axes)
+                pk, eps_d, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
+                vma=vma_axes)
             base = psum_i(mstd_w * (s1 - mave_w * s2))
             if gram_fused is not None:
                 gram_fused = psum_i(gram_fused)
@@ -293,22 +294,51 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             acum0 = jnp.where(act_w, probs[:, 0], 1.0)
             return beta_new, comp, acum0
 
-        if cfg.exact and cfg.use_pallas:
+        if cfg.exact and cfg.use_pallas and cfg.n_dev == 1:
             # Fused in-VMEM recurrence kernel (ops/gibbs_kernel.py): exact
             # sequential Gibbs at VPU latency instead of XLA-scan overhead.
+            # Single marker shard only — with >1 shard the cross-shard
+            # correction below needs collectives Pallas cannot issue.
             from hydra_tpu.ops.gibbs_kernel import window_gibbs
 
             dbeta, bnew_w, comp_w, acum_w = window_gibbs(
                 gram_fused, num0, logl_static, inv_denomk, sd_k, u_w, nrm_w,
                 act_w.astype(f32), bold_w, i_2se, vma=(MARKER_AXIS,))
         elif cfg.exact:
-            # Gram correction: num_j += sum_{k<j} dbeta_k Gram_jk recovers
-            # exact sequential Gibbs; the scan carries the running epsilon
-            # correction in marker space.
-            gram = psum_i(jnp.dot(xt, xt.T, preferred_element_type=f32))
+            # Gram correction: num_j += sum_{t<j} dbeta_t Gram_jt recovers
+            # exact sequential Gibbs within the shard. Across shards the
+            # blocks gathered below additionally apply every OTHER shard's
+            # step-t deltas to step j>t — reproducing the reference's
+            # sync-rate=1 multi-rank semantics (one marker per rank between
+            # residual syncs, same-step markers mutually stale,
+            # BayesRRm.cpp:2044-2060) without any N-length collective
+            # inside the window.
+            if xt is None:
+                # pallas stats path on a multi-shard mesh: the ring below
+                # ships decoded window planes, so materialize them once
+                A, B = decode_planes(pk, f32)
+                xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
+            if cfg.n_dev > 1:
+                # blocks[d, j, t] = x~_j(local) . x~_t(shard d), built by an
+                # ICI ring over the window planes (n_dev (W,N)x(N,W) matmuls)
+                ring = [((i + 1) % cfg.n_dev, i) for i in range(cfg.n_dev)]
+                buf = xt
+                blocks = jax.lax.pcast(
+                    jnp.zeros((cfg.n_dev, W, W), f32), (MARKER_AXIS,),
+                    to="varying")
+                for r in range(cfg.n_dev):
+                    owner = (dev + r) % cfg.n_dev
+                    blk = psum_i(jnp.dot(xt, buf.T, preferred_element_type=f32))
+                    oh = (jnp.arange(cfg.n_dev) == owner).astype(f32)
+                    blocks = blocks + oh[:, None, None] * blk[None]
+                    if r < cfg.n_dev - 1:
+                        buf = jax.lax.ppermute(buf, MARKER_AXIS, ring)
+            else:
+                blocks = psum_i(
+                    jnp.dot(xt, xt.T, preferred_element_type=f32))[None]
 
-            def marker_step(dbeta, j):
-                num_j = num0[j] + jnp.dot(gram[j], dbeta)
+            def marker_step(corr, j):
+                num_j = num0[j] + corr[j]
                 muk = num_j * inv_denomk[j]
                 logL = jnp.concatenate(
                     [logl_static[j, :1],
@@ -323,13 +353,21 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 beta_new = jnp.where((comp > 0) & act_w[j], beta_nz, 0.0)
                 comp = jnp.where(act_w[j], comp, 0)
                 acum0 = jnp.where(act_w[j], probs[0], 1.0)
-                dbeta = dbeta.at[j].set(bold_w[j] - beta_new)
-                return dbeta, (beta_new, comp, acum0)
+                db = bold_w[j] - beta_new
+                if cfg.n_dev > 1:
+                    # one scalar per shard rides ICI each step — the
+                    # latency-bound analogue of the reference's per-marker
+                    # Sum|dBeta| allreduce (BayesRRm.cpp:2051)
+                    db_all = jax.lax.all_gather(db, MARKER_AXIS)
+                else:
+                    db_all = db[None]
+                corr = corr + jnp.tensordot(db_all, blocks[:, :, j], axes=1)
+                return corr, (beta_new, comp, acum0, db)
 
-            dbeta0 = jax.lax.pcast(
+            corr0 = jax.lax.pcast(
                 jnp.zeros((W,), f32), (MARKER_AXIS,), to="varying")
-            dbeta, (bnew_w, comp_w, acum_w) = jax.lax.scan(
-                marker_step, dbeta0, jnp.arange(W))
+            _, (bnew_w, comp_w, acum_w, dbeta) = jax.lax.scan(
+                marker_step, corr0, jnp.arange(W))
         else:
             # Stale-window semantics (the reference's sync-rate relaxation,
             # BayesRRm.cpp:2044-2488): draws are independent given the frozen

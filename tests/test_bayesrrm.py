@@ -133,6 +133,34 @@ def test_sharded_equivalence():
 
 
 @pytest.mark.slow
+def test_exact_mode_is_exact_across_shards():
+    """Sharded exact mode == per-marker dense sync, any window size.
+
+    With window=1 every marker step ends in an N-length psum — literally the
+    reference's sync-rate=1 multi-rank schedule (one marker per rank between
+    residual syncs, BayesRRm.cpp:2044-2060). Exact mode with window W>1 must
+    reproduce that schedule through the cross-shard Gram blocks: the window
+    is a batching choice, not a semantics choice. Shard-local-only Gram
+    correction (round-1 behavior) fails this test."""
+    ds, _, _ = simulate(m=160, n=300, h2=0.5, seed=9)
+    s_w1 = BayesRRm(ds, window=1, exact=True, seed=13, mesh=make_mesh(8),
+                    shuffle=True)
+    s_w4 = BayesRRm(ds, window=4, exact=True, seed=13, mesh=make_mesh(8),
+                    shuffle=True)
+    st1, st4 = s_w1.init_state(), s_w4.init_state()
+    for it in range(4):
+        st1, _ = s_w1.step(st1, it)
+        st4, _ = s_w4.step(st4, it)
+        np.testing.assert_allclose(
+            s_w1.beta_global(st1), s_w4.beta_global(st4), atol=2e-4,
+            err_msg=f"iteration {it}")
+    np.testing.assert_allclose(float(st1.sigma_e), float(st4.sigma_e),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(st1.eps), np.asarray(st4.eps),
+                               atol=2e-4)
+
+
+@pytest.mark.slow
 def test_groups_recovery():
     ds, beta_true, _ = simulate(m=200, n=400, h2=0.5, seed=21, num_groups=2)
     sampler = BayesRRm(ds, window=8, seed=23, mesh=make_mesh(2))
