@@ -161,14 +161,23 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                 - w0 * jnp.expm1(-alpha * (x - mu_old))
                 - x * x / (2.0 * SIGMA_MU))
 
-    mu = slice_sample(mu_logf, mu_old, site(_S_MU),
-                      width=jnp.maximum(0.05 * jnp.abs(mu_old), 0.01))
+    # Scale-aware bracket: the location parameter of the extreme-value
+    # likelihood has Fisher information ~ alpha^2 * N, so the conditional's
+    # sd is ~ 1/(alpha sqrt(N)). The stepping-out budget covers the tails;
+    # width only tunes efficiency, never the stationary law (Neal 2003).
+    dN_total = f32(cfg.n_real)
+    mu_width = jnp.maximum(2.0 / (alpha * jnp.sqrt(dN_total)), 1e-3)
+    mu = slice_sample(mu_logf, mu_old, site(_S_MU), width=mu_width)
     eps = eps + (mu_old - mu) * ind_mask
 
     # ---- 1a. fixed effects (gamma_dens BayesW.cpp:119-129) ----
     gamma = state.gamma
     if cfg.n_cov > 0:
         xi = jax.random.permutation(site(_S_COVPERM), cfg.n_cov)
+        # per-covariate information scale: I(gamma_j) ~ alpha^2 sum_i x_ij^2
+        # (the reference's fixed +-0.075 hull, BayesW.cpp:1389, assumes
+        # standardized covariates; this adapts to the actual column norms)
+        col_sq = psum_i(jnp.sum(x_cov * x_cov * ind_mask[:, None], axis=0))
 
         def cov_step(carry, i):
             eps, gamma = carry
@@ -183,9 +192,11 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                         - psum_i(jnp.sum(w * jnp.expm1(-alpha * col * x)))
                         - x * x / (2.0 * SIGMA_MU))
 
+            g_width = jnp.maximum(
+                2.0 / (alpha * jnp.sqrt(jnp.maximum(col_sq[j], 1.0))), 1e-3)
             g_new = slice_sample(g_logf, g_old,
                                  jax.random.fold_in(site(_S_COV), i),
-                                 width=0.0375)  # ref hull +-0.075 (:1389)
+                                 width=g_width)
             eps = eps + (g_old - g_new) * col * ind_mask
             return (eps, gamma.at[j].set(g_new)), None
 
@@ -204,8 +215,12 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                 + dx * c_lin
                 - psum_i(jnp.sum(vi_cur * jnp.expm1(eps * dx))))
 
+    # shape-parameter MLE has sd ~ 0.78 alpha / sqrt(n_events)
+    # (Weibull Fisher info); bracket at ~2 sd
+    alpha_width = jnp.maximum(
+        1.6 * alpha / jnp.sqrt(jnp.maximum(d_events, 4.0)), 1e-3)
     alpha = slice_sample(alpha_logf, alpha, site(_S_ALPHA),
-                         width=0.1 * alpha, lower=jnp.float32(1e-6))
+                         width=alpha_width, lower=jnp.float32(1e-6))
 
     # ---- 3. vi (BayesW.cpp:1452-1455) ----
     vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask

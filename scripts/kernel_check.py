@@ -1,0 +1,133 @@
+"""Compiled-kernel hardware check (run each round on the real chip).
+
+CI tests the Pallas kernels in interpret mode on CPU only; one bad Mosaic
+relayout would pass CI. This runs every kernel COMPILED on the live backend
+against the XLA/jnp decode path and asserts agreement — the on-hardware
+counterpart of tests/test_window_kernels.py and test_gibbs_kernel.py.
+
+Usage: python scripts/kernel_check.py [--w 64] [--nb 2048] [--tol 1e-4]
+Exits non-zero on any mismatch; prints one PASS line per kernel.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--w", type=int, default=64)
+    ap.add_argument("--nb", type=int, default=2048)   # bytes => N = 4*nb
+    ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--device", default="")
+    args = ap.parse_args()
+
+    import jax
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+    from hydra_tpu.ops.decode import decode_planes
+    from hydra_tpu.ops.gibbs_kernel import window_gibbs
+    from hydra_tpu.ops.window_kernels import (
+        deinterleave, interleave, window_axpy, window_level_sums, window_stats)
+
+    print(f"INFO   : backend = {jax.default_backend()}, "
+          f"device = {jax.devices()[0]}", flush=True)
+    W, NB = args.w, args.nb
+    N = 4 * NB
+    rs = np.random.RandomState(3)
+    packed = jnp.asarray(rs.randint(0, 256, (W, NB), dtype=np.uint8))
+    eps = jnp.asarray(rs.randn(N).astype(np.float32))
+    mave = jnp.asarray(rs.uniform(0.2, 1.8, W).astype(np.float32))
+    mstd = jnp.asarray(rs.uniform(0.5, 2.0, W).astype(np.float32))
+
+    # jnp reference path
+    G, Mk = decode_planes(packed, jnp.float32)
+    xt = (G - mave[:, None] * Mk) * mstd[:, None]
+    s1_ref = G @ eps
+    s2_ref = Mk @ eps
+    gram_ref = xt @ xt.T
+
+    fails = 0
+
+    def check(name, got, ref, tol=args.tol):
+        nonlocal fails
+        got, ref = np.asarray(got), np.asarray(ref)
+        scale = max(1.0, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / scale
+        ok = err <= tol
+        fails += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'}   : {name:<22s} rel-err = {err:.2e}",
+              flush=True)
+
+    s1, s2, gram = jax.jit(
+        lambda p, e, a, s: window_stats(p, deinterleave(e), a, s, True)
+    )(packed, eps, mave, mstd)
+    check("window_stats.s1", s1, s1_ref)
+    check("window_stats.s2", s2, s2_ref)
+    check("window_stats.gram", gram, gram_ref)
+
+    c1 = jnp.asarray(rs.randn(W).astype(np.float32) * 0.1)
+    c2 = jnp.asarray(rs.randn(W).astype(np.float32) * 0.1)
+    de = jax.jit(lambda p, a, b: interleave(window_axpy(p, a, b)))(packed, c1, c2)
+    check("window_axpy", de, c1 @ G + c2 @ Mk)
+
+    vi = jnp.abs(eps) + 0.1
+    l1, l2, lm = jax.jit(
+        lambda p, v: window_level_sums(p, deinterleave(v))
+    )(packed, vi)
+    check("level_sums.s1", l1, ((G == 1.0) & (Mk == 1.0)).astype(np.float32) @ vi)
+    check("level_sums.s2", l2, ((G == 2.0) & (Mk == 1.0)).astype(np.float32) @ vi)
+    check("level_sums.sm", lm, Mk @ vi)
+
+    # fused exact-recurrence kernel vs the jnp scan it replaces
+    K = 4
+    num0 = jnp.asarray(rs.randn(W).astype(np.float32))
+    logl = jnp.asarray(rs.randn(W, K).astype(np.float32))
+    invd = jnp.asarray(rs.uniform(1e-4, 2e-4, (W, K - 1)).astype(np.float32))
+    sdk = jnp.asarray(rs.uniform(0.01, 0.05, (W, K - 1)).astype(np.float32))
+    u = jnp.asarray(rs.uniform(0, 1, W).astype(np.float32))
+    nrm = jnp.asarray(rs.randn(W).astype(np.float32))
+    act = jnp.ones(W, jnp.float32)
+    bold = jnp.asarray(rs.randn(W).astype(np.float32) * 0.01)
+    i2se = jnp.float32(0.7)
+    gram_j = jnp.asarray(gram_ref)
+
+    def jnp_scan(gram, num0):
+        def step(corr, j):
+            num_j = num0[j] + corr[j]
+            muk = num_j * invd[j]
+            logL = jnp.concatenate([logl[j, :1], logl[j, 1:] + muk * num_j * i2se])
+            pr = jnp.exp(logL - jnp.max(logL))
+            probs = pr / jnp.sum(pr)
+            comp = jnp.minimum(jnp.sum((u[j] > jnp.cumsum(probs)).astype(jnp.int32)), K - 1)
+            ksel = jnp.maximum(comp - 1, 0)
+            bnew = jnp.where(comp > 0, muk[ksel] + nrm[j] * sdk[j, ksel], 0.0)
+            db = bold[j] - bnew
+            corr = corr + db * gram[:, j]
+            return corr, (db, bnew, comp, probs[0])
+        _, ys = jax.lax.scan(step, jnp.zeros(W, jnp.float32), jnp.arange(W))
+        return ys
+
+    db_ref, b_ref, c_ref, a_ref = jax.jit(jnp_scan)(gram_j, num0)
+    db, b, c, a = jax.jit(
+        lambda *xs: window_gibbs(*xs)
+    )(gram_j, num0, logl, invd, sdk, u, nrm, act, bold, i2se)
+    check("window_gibbs.dbeta", db, db_ref)
+    check("window_gibbs.beta", b, b_ref)
+    check("window_gibbs.comp", c.astype(np.float32), np.asarray(c_ref, np.float32), tol=0)
+    check("window_gibbs.acum", a, a_ref)
+
+    if fails:
+        print(f"FATAL  : {fails} kernel check(s) failed", flush=True)
+        return 1
+    print("INFO   : all compiled-kernel checks passed", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -214,6 +214,91 @@ def test_cli_bayesw(tmp_path):
     assert [int(r.split(",")[0]) for r in rows] == [10, 12]
 
 
+def test_cli_bayesw_covariates_nas(tmp_path):
+    """BayesW with covariates and NAs end-to-end incl. restart — the
+    reference's srun_cov_nas.sh scenario (phen+fail+cov joint NA semantics,
+    data.cpp:1681-1802; gamma via slice sampling on gamma_dens,
+    BayesW.cpp:1366-1413). Checks the .gam text dump and that the restarted
+    chain restores gamma from it."""
+    rs = np.random.RandomState(33)
+    n = 90
+    base, geno = make_synthetic_bed(tmp_path, 20, n, seed=33)
+    cov_effect = np.array([0.3])
+    cov = rs.randn(n, 1)
+    y = 4.0 + cov @ cov_effect + rs.randn(n) * 0.15
+    with open(base + ".phen", "w") as fh:
+        for i in range(n):
+            v = "NA" if i % 17 == 16 else f"{y[i]:.6f}"
+            fh.write(f"per{i} per{i} {v}\n")
+    with open(base + ".fail", "w") as fh:
+        fh.write("\n".join("1" if rs.random() > 0.2 else "0" for _ in range(n)))
+    with open(base + ".cov", "w") as fh:
+        for i in range(n):
+            v = "NA" if i % 29 == 28 else f"{cov[i, 0]:.5f}"
+            fh.write(f"per{i} per{i} {v}\n")
+    out = str(tmp_path / "outwc")
+    common = ["--mpibayes", "bayesWMPI", "--bfile", base,
+              "--pheno", base + ".phen", "--failure", base + ".fail",
+              "--covariates", base + ".cov",
+              "--mcmc-out-dir", out, "--thin", "2", "--save", "4",
+              "--S", "0.001,0.01,0.1", "--quad_points", "7"]
+    _run_cli(common + ["--mcmc-out-name", "wc", "--chain-length", "10",
+                       "--seed", "41"])
+    ob = os.path.join(out, "wc")
+    # NA drop: 90 - (5 phen NAs) - (3 cov NAs, one overlapping? compute)
+    raw = open(ob + ".eps.0", "rb").read()
+    _, n_kept = np.frombuffer(raw[:8], np.uint32)
+    n_expected = sum(1 for i in range(n)
+                     if i % 17 != 16 and i % 29 != 28)
+    assert n_kept == n_expected
+    # .gam text rows: "it, gamma..." per thin
+    gam_rows = [r for r in open(ob + ".gam").read().strip().split("\n") if r]
+    assert len(gam_rows) == 5
+    g_last = float(gam_rows[-1].split(",")[1])
+    assert np.isfinite(g_last)
+    # restart without --seed: continues and keeps writing gamma
+    _run_cli(common + ["--mcmc-out-name", "wc", "--chain-length", "14",
+                       "--restart"])
+    rb = os.path.join(out, "wc_rs")
+    rows = open(rb + ".csv").read().strip().split("\n")
+    assert [int(r.split(",")[0]) for r in rows] == [10, 12]
+    gam_rs = [r for r in open(rb + ".gam").read().strip().split("\n") if r]
+    assert [int(r.split(",")[0]) for r in gam_rs] == [10, 12]
+
+
+@pytest.mark.slow
+def test_bayesw_covariate_recovery():
+    """Posterior gamma recovers a known covariate effect (library path)."""
+    import jax
+    from hydra_tpu.data.genotypes import Dataset, GenotypeData, make_default_groups
+    from hydra_tpu.parallel.mesh import make_mesh
+    from hydra_tpu.samplers.bayesw import BayesW, EULER_MASCHERONI
+    from tests.test_bayesrrm import _pack
+
+    rs = np.random.RandomState(55)
+    m, n = 48, 500
+    maf = rs.uniform(0.1, 0.5, m)
+    geno = rs.binomial(1, maf[:, None], (m, n)) + rs.binomial(1, maf[:, None], (m, n))
+    gd = GenotypeData.from_packed(_pack(geno), n, np.array([], dtype=np.int64))
+    alpha_true, gamma_true = 10.0, 0.25
+    cov = rs.randn(n, 1)
+    w = np.log(rs.exponential(1.0, n)) + EULER_MASCHERONI
+    y = 4.0 + cov[:, 0] * gamma_true + w / alpha_true
+    groups, mS = make_default_groups(m, [0.001, 0.01, 0.1])
+    ds = Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS,
+                 fail=np.ones(n), X=cov)
+    sampler = BayesW(ds, window=8, seed=77, mesh=make_mesh(2), quad_points=7)
+    state = sampler.init_state()
+    gs = []
+    for it in range(150):
+        state, _ = sampler.step(state, it)
+        if it >= 75:
+            gs.append(float(np.asarray(state.gamma)[0]))
+    g_mean = np.mean(gs)
+    assert abs(g_mean - gamma_true) < 0.08, g_mean
+    assert 7.0 < float(state.alpha) < 14.0
+
+
 def test_cli_multi_trait(tmp_path):
     base, _ = make_synthetic_bed(tmp_path, 20, 60, seed=15)
     rs = np.random.RandomState(15)
