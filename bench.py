@@ -50,6 +50,7 @@ def make_problem(m, n, seed=1, block=4096):
 
     from hydra_tpu import native
 
+    t0 = time.time()
     rs = np.random.RandomState(seed)
     rg = np.random.default_rng(seed + 1)
     maf = rs.uniform(0.05, 0.5, m)
@@ -69,9 +70,15 @@ def make_problem(m, n, seed=1, block=4096):
                     + (u < thr_b[s:e, None]).astype(np.uint8))
             blk = _pack_block(geno, nbytes)
         packed[s:e] = blk
+    print(f"# gen: packed {m}x{nbytes} in {time.time() - t0:.1f} s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
     gd = GenotypeData.from_packed(packed, n, np.array([], dtype=np.int64))
+    print(f"# gen: marker stats in {time.time() - t0:.1f} s",
+          file=sys.stderr, flush=True)
 
     # phenotype from a causal subset only (decode just those rows)
+    t0 = time.time()
     ncausal = max(10, min(m // 10, 2000))
     causal = np.sort(rs.choice(m, ncausal, replace=False))
     beta_c = rs.randn(ncausal) * np.sqrt(0.5 / ncausal)
@@ -79,6 +86,8 @@ def make_problem(m, n, seed=1, block=4096):
     xs = (g_c - gd.mave[causal][:, None] * mask_c) * gd.mstd[causal][:, None]
     y = xs.T @ beta_c + rs.randn(n) * np.sqrt(0.5)
     groups, mS = make_default_groups(m, [0.0001, 0.001, 0.01])
+    print(f"# gen: phenotype in {time.time() - t0:.1f} s",
+          file=sys.stderr, flush=True)
     return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
 
 
@@ -235,12 +244,18 @@ def main():
               f"{' (measured now)' if fresh else ' (cached)'}", file=sys.stderr)
 
     mesh = make_mesh(1)
+    t0 = time.time()
     sampler = BayesRRm(ds, window=args.window, exact=args.exact,
                        seed=11, mesh=mesh)
     state = sampler.init_state()
+    print(f"# setup: layout+device_put in {time.time() - t0:.1f} s",
+          file=sys.stderr, flush=True)
     # warmup/compile
+    t0 = time.time()
     state, _ = sampler.step(state, 0)
     jax.block_until_ready(state.eps)
+    print(f"# setup: compile+first step in {time.time() - t0:.1f} s",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     for it in range(1, args.iters + 1):
         state, stats = sampler.step(state, it)
