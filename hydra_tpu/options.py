@@ -90,6 +90,7 @@ class Options:
     exact: bool = True                   # Gram-corrected exact sequential semantics
     n_devices: int = 0                   # 0 → all visible devices
     ind_shards: int = 1                  # individual-axis mesh shards (N-sharding)
+    dcn_slices: int = 1                  # multi-slice hierarchy: ("dcn","markers")
     dtype: str = "float32"               # accumulation dtype
 
     @property
@@ -222,6 +223,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--ind-shards", dest="ind_shards", type=int, default=1,
       help="shard the individual dimension over this many devices "
            "(2-D markers x inds mesh)")
+    a("--dcn-slices", dest="dcn_slices", type=int, default=1,
+      help="multi-slice pods: declare this many DCN-connected slices; "
+           "markers shard over a hierarchical (dcn, markers) mesh and the "
+           "residual all-reduce runs ICI-first then chunked over DCN")
     a("--dtype", dest="dtype", default="float32",
       choices=["float32", "float64"],
       help="sampler accumulation dtype; float64 needs JAX_ENABLE_X64 "
@@ -304,6 +309,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.exact = not ns.stale
     opt.n_devices = ns.n_devices
     opt.ind_shards = ns.ind_shards
+    opt.dcn_slices = ns.dcn_slices
     opt.dtype = ns.dtype
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
         raise SystemExit(

@@ -27,32 +27,86 @@ from jax.sharding import Mesh
 
 MARKER_AXIS = "markers"
 IND_AXIS = "inds"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: int = 0, devices: Optional[list] = None,
-              n_ind: int = 1) -> Mesh:
-    """Mesh over ("markers",) — or ("markers", "inds") when n_ind > 1.
+              n_ind: int = 1, n_dcn: int = 1) -> Mesh:
+    """Mesh over ("markers",) — optionally ("dcn", "markers"[, "inds"]).
 
     n_devices == 0 uses all visible devices. n_ind splits the device pool:
     n_devices must be a multiple of n_ind; marker axis gets n_devices/n_ind.
     Multi-host: pass the global device list (jax.devices() already spans
     hosts under jax.distributed). Keep "inds" within a host/slice so its
     psums ride ICI.
+
+    n_dcn > 1 declares a *hierarchical* marker axis for multi-slice pods:
+    markers shard over the flattened ("dcn", "markers") axes, and the
+    samplers split the residual all-reduce into an intra-slice psum over
+    "markers" (ICI) followed by a reduce_scatter + all_gather over "dcn"
+    (DCN) — the bandwidth-optimal decomposition of the reference's
+    cross-node MPI_Allreduce (BayesRRm.cpp:2456). Order the device list
+    slice-major so "dcn" really crosses slices.
     """
     if devices is None:
         devices = jax.devices()
     if n_devices > 0:
         devices = devices[:n_devices]
-    if n_ind <= 1:
-        return Mesh(np.asarray(devices), (MARKER_AXIS,))
-    if len(devices) % n_ind:
+    n_dcn = max(int(n_dcn), 1)
+    n_ind = max(int(n_ind), 1)
+    if len(devices) % (n_ind * n_dcn):
         raise ValueError(
-            f"n_ind={n_ind} must divide the device count {len(devices)}")
-    grid = np.asarray(devices).reshape(len(devices) // n_ind, n_ind)
-    return Mesh(grid, (MARKER_AXIS, IND_AXIS))
+            f"n_ind*n_dcn={n_ind}*{n_dcn} must divide the device count "
+            f"{len(devices)}")
+    if n_ind <= 1 and n_dcn <= 1:
+        return Mesh(np.asarray(devices), (MARKER_AXIS,))
+    n_marker = len(devices) // (n_ind * n_dcn)
+    if n_dcn <= 1:
+        grid = np.asarray(devices).reshape(n_marker, n_ind)
+        return Mesh(grid, (MARKER_AXIS, IND_AXIS))
+    if n_ind <= 1:
+        grid = np.asarray(devices).reshape(n_dcn, n_marker)
+        return Mesh(grid, (DCN_AXIS, MARKER_AXIS))
+    grid = np.asarray(devices).reshape(n_dcn, n_marker, n_ind)
+    return Mesh(grid, (DCN_AXIS, MARKER_AXIS, IND_AXIS))
 
 
 def mesh_axes(mesh: Mesh) -> tuple:
-    """(n_marker_shards, n_ind_shards) for a 1-D or 2-D mesh."""
+    """(total_marker_shards, n_ind_shards, n_dcn_slices).
+
+    total_marker_shards includes the dcn factor: per-marker arrays shard
+    over the flattened ("dcn", "markers") axes, so layout code only ever
+    needs the product."""
     n_ind = mesh.shape.get(IND_AXIS, 1)
-    return mesh.shape[MARKER_AXIS], n_ind
+    n_dcn = mesh.shape.get(DCN_AXIS, 1)
+    return n_dcn * mesh.shape[MARKER_AXIS], n_ind, n_dcn
+
+
+def marker_axes(n_dcn: int) -> tuple:
+    """Axis-name tuple for collectives over the (possibly hierarchical)
+    marker dimension — what MPI_COMM_WORLD reductions map to."""
+    return (DCN_AXIS, MARKER_AXIS) if n_dcn > 1 else (MARKER_AXIS,)
+
+
+def hier_psum(v, n_dcn: int, n_chunks: int = 8):
+    """All-reduce a replicated vector over the marker hierarchy.
+
+    n_dcn == 1: plain psum over "markers" (ICI). n_dcn > 1: psum over
+    "markers" first so DCN carries one already-reduced copy per slice, then
+    the cross-slice reduction is split into n_chunks independent psums over
+    "dcn" — separate collectives XLA can pipeline against each other (the
+    chunked-DCN policy of SURVEY §5; replaces the reference's flat
+    MPI_Allreduce across nodes, BayesRRm.cpp:2456). Falls back to one psum
+    when the length does not divide."""
+    import jax
+
+    v = jax.lax.psum(v, MARKER_AXIS)
+    if n_dcn <= 1:
+        return v
+    n = v.shape[0] if v.ndim else 0
+    if v.ndim != 1 or n_chunks <= 1 or n % n_chunks:
+        return jax.lax.psum(v, DCN_AXIS)
+    parts = v.reshape(n_chunks, n // n_chunks)
+    import jax.numpy as jnp
+    return jnp.concatenate(
+        [jax.lax.psum(parts[c], DCN_AXIS) for c in range(n_chunks)])

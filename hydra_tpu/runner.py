@@ -112,7 +112,8 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         apply_restart_rng(opt, rds[0])
     sampler = BayesRRmMT(ds, phenos, window=opt.window,
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
-                         n_devices=opt.n_devices, n_ind=opt.ind_shards)
+                         n_devices=opt.n_devices, n_ind=opt.ind_shards,
+                         n_dcn=opt.dcn_slices)
     start_it = 0
     if rds is not None:
         import jax.numpy as jnp
@@ -234,7 +235,8 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
     sampler = BayesRRm(
         ds, window=opt.window, exact=opt.exact, fh=fh,
         shuffle=bool(opt.shuffle_markers), seed=opt.seed,
-        n_devices=opt.n_devices, n_ind=opt.ind_shards, dtype=opt.dtype,
+        n_devices=opt.n_devices, n_ind=opt.ind_shards,
+        n_dcn=opt.dcn_slices, dtype=opt.dtype,
         fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
                        s02c=opt.s02c, tau0=opt.tau0))
 

@@ -53,7 +53,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.io.pheno import center_and_scale
 from hydra_tpu.ops.decode import decode_planes
-from hydra_tpu.parallel.mesh import IND_AXIS, MARKER_AXIS, make_mesh, mesh_axes
+from hydra_tpu.parallel.mesh import (
+    IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.utils import dist
 
 # Hyper-priors (BayesRRm.h:29-34)
@@ -82,6 +83,7 @@ class BayesRRmConfig:
     num_groups: int
     n_cov: int
     n_ind: int = 1       # individual-axis shards (2-D mesh); 1 = replicated eps
+    n_dcn: int = 1       # multi-slice: markers shard over ("dcn", "markers")
     exact: bool = True
     fh: bool = False
     shuffle: bool = True
@@ -141,7 +143,11 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     dNm1 = f32(cfg.n_real - 1)
     km1 = cfg.k - 1
     W = cfg.window
-    dev = jax.lax.axis_index(MARKER_AXIS)
+    # ma: the (possibly hierarchical) marker axis — ("dcn", "markers") on
+    # multi-slice meshes; collectives over `ma` reduce across all marker
+    # shards, ICI-first (see parallel/mesh.py).
+    ma = marker_axes(cfg.n_dcn)
+    dev = jax.lax.axis_index(ma)
 
     # Individual-axis sharding: eps / ind_mask / x_cov / packed byte columns
     # arrive as local N/n_ind chunks; N-length reductions need one extra psum
@@ -149,11 +155,11 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     if cfg.n_ind > 1:
         def psum_i(x):
             return jax.lax.psum(x, IND_AXIS)
-        vma_axes = (MARKER_AXIS, IND_AXIS)
+        vma_axes = ma + (IND_AXIS,)
     else:
         def psum_i(x):
             return x
-        vma_axes = (MARKER_AXIS,)
+        vma_axes = ma
 
     base_key = jax.random.key(seed)
     it_key = jax.random.fold_in(base_key, it)
@@ -318,7 +324,15 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 # ships decoded window planes, so materialize them once
                 A, B = decode_planes(pk, f32)
                 xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
-            if cfg.n_dev > 1:
+            if cfg.n_dcn > 1:
+                # hierarchical mesh: ppermute has no linearized-axis form, so
+                # gather every shard's window planes once (n_dev, W, N_loc)
+                # and form all Gram blocks in one batched matmul
+                buf_all = jax.lax.all_gather(xt, ma)
+                blocks = psum_i(jnp.einsum(
+                    "wn,dvn->dwv", xt, buf_all,
+                    preferred_element_type=f32))
+            elif cfg.n_dev > 1:
                 # blocks[d, j, t] = x~_j(local) . x~_t(shard d), built by an
                 # ICI ring over the window planes (n_dev (W,N)x(N,W) matmuls)
                 ring = [((i + 1) % cfg.n_dev, i) for i in range(cfg.n_dev)]
@@ -358,14 +372,14 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                     # one scalar per shard rides ICI each step — the
                     # latency-bound analogue of the reference's per-marker
                     # Sum|dBeta| allreduce (BayesRRm.cpp:2051)
-                    db_all = jax.lax.all_gather(db, MARKER_AXIS)
+                    db_all = jax.lax.all_gather(db, ma)
                 else:
                     db_all = db[None]
                 corr = corr + jnp.tensordot(db_all, blocks[:, :, j], axes=1)
                 return corr, (beta_new, comp, acum0, db)
 
             corr0 = jax.lax.pcast(
-                jnp.zeros((W,), f32), (MARKER_AXIS,), to="varying")
+                jnp.zeros((W,), f32), ma, to="varying")
             _, (bnew_w, comp_w, acum_w, dbeta) = jax.lax.scan(
                 marker_step, corr0, jnp.arange(W))
         else:
@@ -385,9 +399,9 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                                 vma=vma_axes).T.reshape(-1)
         else:
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
-        d_eps = jax.lax.psum(d_eps, MARKER_AXIS)
+        d_eps = hier_psum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
-        sum_abs_db = sum_abs_db + jax.lax.psum(jnp.sum(jnp.abs(dbeta)), MARKER_AXIS)
+        sum_abs_db = sum_abs_db + jax.lax.psum(jnp.sum(jnp.abs(dbeta)), ma)
 
         # component-assignment counts, active markers only (BayesRRm.cpp:1904)
         flat = grp_w * cfg.k + comp_w
@@ -407,15 +421,15 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         return eps, beta, comps, acum, lam, nu, cass, sum_abs_db
 
     cass0 = jax.lax.pcast(
-        jnp.zeros((cfg.num_groups, cfg.k), f32), (MARKER_AXIS,), to="varying")
+        jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
     eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
         0, cfg.n_windows, window_body,
         (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
 
     # ---- cross-shard reductions (BayesRRm.cpp:2515-2521) ----
-    cass = jax.lax.psum(cass, MARKER_AXIS)
+    cass = jax.lax.psum(cass, ma)
     bsqn_loc = jax.ops.segment_sum(beta * beta, groups, num_segments=cfg.num_groups)
-    beta_sqn = jax.lax.psum(bsqn_loc, MARKER_AXIS)
+    beta_sqn = jax.lax.psum(bsqn_loc, ma)
 
     # ---- per-group hyper-parameter updates (BayesRRm.cpp:2525-2578) ----
     m0 = mtot_grp.astype(f32) - cass[:, 0]
@@ -425,7 +439,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     if cfg.fh:
         scaled_bsqn = jax.lax.psum(
             jnp.sum(jnp.where(valid > 0, beta * beta / jnp.maximum(lam, 1e-30), 0.0)),
-            MARKER_AXIS)
+            ma)
         tau = state.tau
         hyp_tau = state.hyp_tau
         c_slab = state.c_slab
@@ -505,15 +519,17 @@ class BayesRRm:
     def __init__(self, dataset: Dataset, *, window: int = 1, exact: bool = True,
                  fh: bool = False, shuffle: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1, fh_params: Optional[dict] = None,
+                 n_ind: int = 1, n_dcn: int = 1,
+                 fh_params: Optional[dict] = None,
                  dtype: str = "float32"):
         if dtype == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "--dtype float64 requires x64 mode "
                 "(jax.config.update('jax_enable_x64', True) or JAX_ENABLE_X64=1)")
         self.ds = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
-        n_dev, n_ind = mesh_axes(self.mesh)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_devices, n_ind=n_ind, n_dcn=n_dcn)
+        n_dev, n_ind, n_dcn = mesh_axes(self.mesh)
         self.seed = seed
 
         geno = dataset.geno
@@ -528,7 +544,7 @@ class BayesRRm:
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         self.cfg = BayesRRmConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
-            n_dev=n_dev, n_ind=n_ind, window=window, k=K,
+            n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
@@ -559,16 +575,17 @@ class BayesRRm:
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
         self.slot_to_marker = slot_to_marker
 
-        shard_m = NamedSharding(self.mesh, P(MARKER_AXIS))
+        max_ = marker_axes(cfg.n_dcn)
+        shard_m = NamedSharding(self.mesh, P(max_))
         rep = NamedSharding(self.mesh, P())
         if cfg.n_ind > 1:
             # 2-D layout: byte columns shard over the inds axis too, and the
             # N-length vectors (eps, ind_mask, covariates) shard over inds.
-            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, IND_AXIS))
+            shard_m2 = NamedSharding(self.mesh, P(max_, IND_AXIS))
             shard_i = NamedSharding(self.mesh, P(IND_AXIS))
             shard_i2 = NamedSharding(self.mesh, P(IND_AXIS, None))
         else:
-            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
+            shard_m2 = NamedSharding(self.mesh, P(max_, None))
             shard_i = shard_i2 = rep
         self._shard_i = shard_i
         put = jax.device_put
@@ -712,14 +729,15 @@ class BayesRRm:
     # ------------------------------------------------------------------
     def _build_step(self):
         cfg = self.cfg
-        pm = P(MARKER_AXIS)
+        max_ = marker_axes(cfg.n_dcn)
+        pm = P(max_)
         rep = P()
         if cfg.n_ind > 1:
-            pm2 = P(MARKER_AXIS, IND_AXIS)
+            pm2 = P(max_, IND_AXIS)
             pi = P(IND_AXIS)
             pi2 = P(IND_AXIS, None)
         else:
-            pm2 = P(MARKER_AXIS, None)
+            pm2 = P(max_, None)
             pi = pi2 = rep
         state_specs = BayesRRmState(
             eps=pi, beta=pm, components=pm, acum=pm, mu=rep, sigma_e=rep,

@@ -36,7 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes
-from hydra_tpu.parallel.mesh import IND_AXIS, MARKER_AXIS, make_mesh, mesh_axes
+from hydra_tpu.parallel.mesh import (
+    IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.samplers.bayesrrm import S02E, V0E, V0G_DEFAULT, S02G_DEFAULT
 from hydra_tpu.utils import dist
 
@@ -55,6 +56,7 @@ class MtConfig:
     num_groups: int
     n_traits: int
     n_ind: int = 1
+    n_dcn: int = 1
     shuffle: bool = True
 
     @property
@@ -89,7 +91,8 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     T = cfg.n_traits
     km1 = cfg.k - 1
     W = cfg.window
-    dev = jax.lax.axis_index(MARKER_AXIS)
+    ma = marker_axes(cfg.n_dcn)
+    dev = jax.lax.axis_index(ma)
 
     # N-sharding (see bayesrrm._local_iteration): eps/trait_mask/packed byte
     # columns arrive as local inds chunks; identity psum when n_ind == 1.
@@ -191,7 +194,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         # dEps(:, t) = A^T (dbeta*mstd) - B^T (dbeta*mstd*mave), then mask
         d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32)        # (N, T)
         d2 = jnp.dot(B.T, dbeta * mave_w, preferred_element_type=f32)
-        d_eps = jax.lax.psum(d1 - d2, MARKER_AXIS) * trait_mask
+        d_eps = hier_psum(d1 - d2, cfg.n_dcn) * trait_mask
         eps = eps + d_eps
 
         flat = (grp_w[:, None] * cfg.k + comp).reshape(-1)   # (W*T,)
@@ -207,14 +210,14 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         return eps, beta, comps, cass
 
     cass0 = jax.lax.pcast(
-        jnp.zeros((T, cfg.num_groups, cfg.k), f32), (MARKER_AXIS,), to="varying")
+        jnp.zeros((T, cfg.num_groups, cfg.k), f32), ma, to="varying")
     eps, beta, comps, cass = jax.lax.fori_loop(
         0, cfg.n_windows, window_body, (eps, beta, comps, cass0))
 
-    cass = jax.lax.psum(cass, MARKER_AXIS)
+    cass = jax.lax.psum(cass, ma)
     bsq = jax.vmap(lambda b: jax.ops.segment_sum(
         b * b, groups, num_segments=cfg.num_groups), in_axes=1)(beta)  # (T, G)
-    beta_sqn = jax.lax.psum(bsq, MARKER_AXIS)
+    beta_sqn = jax.lax.psum(bsq, ma)
 
     # ---- per-(trait, group) hypers ----
     m0 = mtot_grp.astype(f32)[None, :] - cass[:, :, 0]
@@ -249,10 +252,11 @@ class BayesRRmMT:
     def __init__(self, dataset: Dataset, phenos: np.ndarray, *,
                  window: int = 1, shuffle: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1):
+                 n_ind: int = 1, n_dcn: int = 1):
         self.ds = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
-        n_dev, n_ind = mesh_axes(self.mesh)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_devices, n_ind=n_ind, n_dcn=n_dcn)
+        n_dev, n_ind, n_dcn = mesh_axes(self.mesh)
         self.seed = seed
         geno = dataset.geno
         T, n = phenos.shape
@@ -270,7 +274,7 @@ class BayesRRmMT:
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
-            n_ind=n_ind, shuffle=shuffle)
+            n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle)
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes
@@ -321,11 +325,12 @@ class BayesRRmMT:
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
         self.slot_to_marker = slot_to_marker
 
-        shard_m = NamedSharding(self.mesh, P(MARKER_AXIS))
-        shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
+        max_ = marker_axes(cfg.n_dcn)
+        shard_m = NamedSharding(self.mesh, P(max_))
+        shard_m2 = NamedSharding(self.mesh, P(max_, None))
         rep = NamedSharding(self.mesh, P())
         if cfg.n_ind > 1:
-            shard_mb = NamedSharding(self.mesh, P(MARKER_AXIS, IND_AXIS))
+            shard_mb = NamedSharding(self.mesh, P(max_, IND_AXIS))
             shard_i2 = NamedSharding(self.mesh, P(IND_AXIS, None))
         else:
             shard_mb = shard_m2
@@ -378,11 +383,12 @@ class BayesRRmMT:
 
     def _build_step(self):
         cfg = self.cfg
-        pm = P(MARKER_AXIS)
-        pm2 = P(MARKER_AXIS, None)
+        max_ = marker_axes(cfg.n_dcn)
+        pm = P(max_)
+        pm2 = P(max_, None)
         rep = P()
         if cfg.n_ind > 1:
-            pmb = P(MARKER_AXIS, IND_AXIS)
+            pmb = P(max_, IND_AXIS)
             pi2 = P(IND_AXIS, None)
         else:
             pmb = pm2

@@ -41,7 +41,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes
-from hydra_tpu.parallel.mesh import IND_AXIS, MARKER_AXIS, make_mesh, mesh_axes
+from hydra_tpu.parallel.mesh import (
+    IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.utils import dist
 from hydra_tpu.utils.slice_sampler import slice_sample
 
@@ -82,6 +83,7 @@ class BayesWConfig:
     num_groups: int
     n_cov: int
     n_ind: int = 1            # individual-axis shards (2-D mesh)
+    n_dcn: int = 1            # multi-slice hierarchy (see parallel/mesh.py)
     quad_n: int = 25
     shuffle: bool = True
     use_pallas: bool = False
@@ -121,7 +123,8 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     km1 = cfg.k - 1
     W = cfg.window
     Q = cfg.quad_n
-    dev = jax.lax.axis_index(MARKER_AXIS)
+    ma = marker_axes(cfg.n_dcn)
+    dev = jax.lax.axis_index(ma)
 
     # N-sharding (see bayesrrm._local_iteration): partial N-length sums are
     # combined with one psum over IND_AXIS; identity when n_ind == 1. The
@@ -130,11 +133,11 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     if cfg.n_ind > 1:
         def psum_i(x):
             return jax.lax.psum(x, IND_AXIS)
-        vma_axes = (MARKER_AXIS, IND_AXIS)
+        vma_axes = ma + (IND_AXIS,)
     else:
         def psum_i(x):
             return x
-        vma_axes = (MARKER_AXIS,)
+        vma_axes = ma
 
     base_key = jax.random.key(seed)
     it_key = jax.random.fold_in(base_key, it)
@@ -346,7 +349,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         else:
             xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
-        d_eps = jax.lax.psum(d_eps, MARKER_AXIS)
+        d_eps = hier_psum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
         vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask  # :1832-1834
 
@@ -359,14 +362,14 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         return eps, vi, beta, comps, cass
 
     cass0 = jax.lax.pcast(
-        jnp.zeros((cfg.num_groups, cfg.k), f32), (MARKER_AXIS,), to="varying")
+        jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
     eps, vi, beta, comps, cass = jax.lax.fori_loop(
         0, cfg.n_windows, window_body, (eps, vi, beta, comps, cass0))
 
-    cass = jax.lax.psum(cass, MARKER_AXIS)
+    cass = jax.lax.psum(cass, ma)
     beta_sqn = jax.lax.psum(
         jax.ops.segment_sum(beta * beta, groups, num_segments=cfg.num_groups),
-        MARKER_AXIS)
+        ma)
 
     # ---- hypers (BayesW.cpp:1885-1905) ----
     m0 = mtot_grp.astype(f32) - cass[:, 0]
@@ -390,12 +393,13 @@ class BayesW:
     def __init__(self, dataset: Dataset, *, window: int = 1,
                  shuffle: bool = True, seed: int = 0, quad_points: int = 25,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1):
+                 n_ind: int = 1, n_dcn: int = 1):
         if dataset.fail is None:
             raise ValueError("BayesW requires failure indicators (--failure)")
         self.ds = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices, n_ind=n_ind)
-        n_dev, n_ind = mesh_axes(self.mesh)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_devices, n_ind=n_ind, n_dcn=n_dcn)
+        n_dev, n_ind, n_dcn = mesh_axes(self.mesh)
         self.seed = seed
 
         geno = dataset.geno
@@ -410,7 +414,7 @@ class BayesW:
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         self.cfg = BayesWConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
-            n_dev=n_dev, n_ind=n_ind, window=window, k=K,
+            n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             quad_n=quad_points, shuffle=shuffle,
@@ -453,14 +457,15 @@ class BayesW:
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
         self.slot_to_marker = slot_to_marker
 
-        shard_m = NamedSharding(self.mesh, P(MARKER_AXIS))
+        max_ = marker_axes(cfg.n_dcn)
+        shard_m = NamedSharding(self.mesh, P(max_))
         rep = NamedSharding(self.mesh, P())
         if cfg.n_ind > 1:
-            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, IND_AXIS))
+            shard_m2 = NamedSharding(self.mesh, P(max_, IND_AXIS))
             shard_i = NamedSharding(self.mesh, P(IND_AXIS))
             shard_i2 = NamedSharding(self.mesh, P(IND_AXIS, None))
         else:
-            shard_m2 = NamedSharding(self.mesh, P(MARKER_AXIS, None))
+            shard_m2 = NamedSharding(self.mesh, P(max_, None))
             shard_i = shard_i2 = rep
         self._shard_i = shard_i
         put = jax.device_put
@@ -557,14 +562,15 @@ class BayesW:
     # ------------------------------------------------------------------
     def _build_step(self):
         cfg = self.cfg
-        pm = P(MARKER_AXIS)
+        max_ = marker_axes(cfg.n_dcn)
+        pm = P(max_)
         rep = P()
         if cfg.n_ind > 1:
-            pm2 = P(MARKER_AXIS, IND_AXIS)
+            pm2 = P(max_, IND_AXIS)
             pi = P(IND_AXIS)
             pi2 = P(IND_AXIS, None)
         else:
-            pm2 = P(MARKER_AXIS, None)
+            pm2 = P(max_, None)
             pi = pi2 = rep
         state_specs = BayesWState(eps=pi, beta=pm, components=pm, mu=rep,
                                   alpha=rep, sigma_g=rep, pi_l=rep, gamma=rep)

@@ -35,7 +35,7 @@ def test_ind_sharding_matches_replicated(n_ind):
                    mesh=make_mesh(n_marker), shuffle=False)
     two_d = BayesRRm(ds, window=4, exact=True, seed=17,
                      mesh=make_mesh(8, n_ind=n_ind), shuffle=False)
-    assert mesh_axes(two_d.mesh) == (n_marker, n_ind)
+    assert mesh_axes(two_d.mesh) == (n_marker, n_ind, 1)
     st_ref, stats_ref = _run(ref)
     st_2d, stats_2d = _run(two_d)
 
