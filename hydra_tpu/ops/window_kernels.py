@@ -49,6 +49,21 @@ def _pick_tile(nb: int, preferred: int) -> int:
     return nb
 
 
+def _auto_tile(nb: int, w: int, f32_planes: float) -> int:
+    """Byte-dimension tile sized to a ~4 MB VMEM working set.
+
+    Each grid step costs ~1.4 us of fixed overhead on v5e, so small tiles
+    make the kernels latency-bound (measured: 2x49 steps/window = 137 us of
+    a 138 us window at NB=12544 with 512-byte tiles). Size the tile so the
+    live working set — packed bytes (w x tb) plus `f32_planes` decoded f32
+    planes of (w, tb) — fills ~4 MB, leaving headroom for Mosaic's double
+    buffering within the ~16 MB VMEM."""
+    budget = 4 * 1024 * 1024
+    per_byte = 1 + 4 * f32_planes
+    pref = int(budget / (max(w, 8) * per_byte))
+    return _pick_tile(nb, max(512, (pref // 128) * 128))
+
+
 def _decode_k(pk32, k):
     """Arithmetic decode of bit-plane k from int32-widened packed bytes.
 
@@ -90,7 +105,7 @@ def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
 
 
 def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
-                 mstd: jax.Array, exact: bool, tile_bytes: int = 512,
+                 mstd: jax.Array, exact: bool, tile_bytes: int = 0,
                  vma=None, interpret: bool = False
                  ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """(s1, s2[, gram]) for a window.
@@ -99,7 +114,7 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
     (eps.reshape(-1, 4)); mave/mstd: (W,).
     """
     W, NB = packed.shape
-    tb = _pick_tile(NB, tile_bytes)
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0 if exact else 3.0)
     grid = (NB // tb,)
 
     def sds(shape):
@@ -143,7 +158,7 @@ def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
 
 
 def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
-                tile_bytes: int = 512, vma=None, interpret: bool = False
+                tile_bytes: int = 0, vma=None, interpret: bool = False
                 ) -> jax.Array:
     """dEps_d (4, NB) = sum_m c1_m * G_m + c2_m * M_m in deinterleaved layout.
 
@@ -151,7 +166,7 @@ def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
     (sparse_scaadd equivalent, BayesRRm.cpp:250-281).
     """
     W, NB = packed.shape
-    tb = _pick_tile(NB, tile_bytes)
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
     grid = (NB // tb,)
     out_shape = (jax.ShapeDtypeStruct((4, NB), f32, vma=set(vma)) if vma
                  else jax.ShapeDtypeStruct((4, NB), f32))
@@ -190,7 +205,7 @@ def _levels_kernel(pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
 
 
 def window_level_sums(packed: jax.Array, vi_d: jax.Array,
-                      tile_bytes: int = 512, vma=None,
+                      tile_bytes: int = 0, vma=None,
                       interpret: bool = False):
     """(sum_{g==1} vi, sum_{g==2} vi, sum_{mask} vi) per window marker.
 
@@ -198,7 +213,7 @@ def window_level_sums(packed: jax.Array, vi_d: jax.Array,
     vi_d is the deinterleaved vi vector (NB, 4).
     """
     W, NB = packed.shape
-    tb = _pick_tile(NB, tile_bytes)
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0)
     grid = (NB // tb,)
 
     def sds():

@@ -147,6 +147,10 @@ def read_restart(mcmc_out: str, mtot: int, ntot: int, save: int,
     eps = _read_tagged_vector(mcmc_out + ".eps.0", np.float64, it)
     if len(eps) != ntot:
         raise ValueError(f".eps length {len(eps)} != Ntot {ntot}")
+    # .mrk is validated (tag/iteration) and surfaced for format parity with
+    # the reference (data.cpp:33-71), but no consumer needs it on resume:
+    # the counter-based RNG re-derives every per-iteration shuffle from
+    # (seed, iteration), unlike the reference's stateful mt19937.
     marker_order = _read_tagged_vector(mcmc_out + ".mrk.0", np.int32, it)
 
     with open(mcmc_out + ".rng.0") as fh:

@@ -627,6 +627,7 @@ class BayesRRm:
 
         self._rep = rep
         self._shard_m = shard_m
+        self._multi = {}
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
@@ -767,6 +768,26 @@ class BayesRRm:
     def step(self, state: BayesRRmState, iteration: int
              ) -> Tuple[BayesRRmState, IterStats]:
         return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
+
+    def run_steps(self, state: BayesRRmState, start_iteration: int, k: int
+                  ) -> Tuple[BayesRRmState, IterStats]:
+        """k Gibbs sweeps in ONE device dispatch (lax.scan over iterations).
+
+        Identical chain to k calls of step() — the iteration number is the
+        scanned variable, so per-iteration RNG keys match exactly. On
+        tunneled/remote backends a single dispatch+fetch costs ~25 ms; for
+        production chains this amortizes it over the thin interval instead
+        of paying it every sweep. Returns the final state and the stacked
+        (k, ...) IterStats."""
+        multi = self._multi.get(k)
+        if multi is None:
+            def kloop(seed, it0, st):
+                def body(st, it):
+                    return self.raw_step(seed, it, st)
+                return jax.lax.scan(body, st, it0 + jnp.arange(k, dtype=jnp.int32))
+            multi = jax.jit(kloop)
+            self._multi[k] = multi
+        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state)
 
     # ------------------------------------------------------------------
     def cov_order(self, iteration: int) -> np.ndarray:

@@ -355,6 +355,7 @@ class BayesRRmMT:
         self.trait_mask = put(jnp.asarray(tm), shard_i2)
         self.n_per_trait = put(jnp.asarray(nonas, jnp.float32), rep)
         self._rep, self._shard_m, self._shard_m2 = rep, shard_m, shard_m2
+        self._multi = {}
         self._step = self._build_step()
 
     def init_state(self) -> MtState:
@@ -414,6 +415,21 @@ class BayesRRmMT:
 
     def step(self, state, iteration: int):
         return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
+
+
+    def run_steps(self, state, start_iteration: int, k: int):
+        """k sweeps in one device dispatch (lax.scan over iterations) —
+        identical chain to k step() calls; see BayesRRm.run_steps."""
+        multi = self._multi.get(k)
+        if multi is None:
+            def kloop(seed, it0, st):
+                def body(st, it):
+                    return self.raw_step(seed, it, st)
+                return jax.lax.scan(body, st,
+                                    it0 + jnp.arange(k, dtype=jnp.int32))
+            multi = jax.jit(kloop)
+            self._multi[k] = multi
+        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state)
 
     def beta_global(self, state) -> np.ndarray:
         out = np.zeros((self.cfg.m_tot, self.cfg.n_traits))

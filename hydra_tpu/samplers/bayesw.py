@@ -501,6 +501,7 @@ class BayesW:
 
         self._rep = rep
         self._shard_m = shard_m
+        self._multi = {}
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
@@ -597,6 +598,21 @@ class BayesW:
         return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
 
     # ------------------------------------------------------------------
+
+    def run_steps(self, state, start_iteration: int, k: int):
+        """k sweeps in one device dispatch (lax.scan over iterations) —
+        identical chain to k step() calls; see BayesRRm.run_steps."""
+        multi = self._multi.get(k)
+        if multi is None:
+            def kloop(seed, it0, st):
+                def body(st, it):
+                    return self.raw_step(seed, it, st)
+                return jax.lax.scan(body, st,
+                                    it0 + jnp.arange(k, dtype=jnp.int32))
+            multi = jax.jit(kloop)
+            self._multi[k] = multi
+        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state)
+
     def cov_order(self, iteration: int) -> np.ndarray:
         """Covariate processing order at `iteration` (.xiv format parity)."""
         key = jax.random.fold_in(
