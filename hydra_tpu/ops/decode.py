@@ -71,8 +71,10 @@ def window_dot(packed: jax.Array, eps: jax.Array, dtype=jnp.float32
     s2 = sum mask*eps (BayesRRm.cpp:1774-1808).
     """
     A, B = decode_planes(packed, dtype)
-    s1 = jnp.dot(A, eps, preferred_element_type=dtype)
-    s2 = jnp.dot(B, eps, preferred_element_type=dtype)
+    # HIGHEST: XLA's default matmul precision on TPU is bf16-rounded
+    hi = jax.lax.Precision.HIGHEST
+    s1 = jnp.dot(A, eps, preferred_element_type=dtype, precision=hi)
+    s2 = jnp.dot(B, eps, preferred_element_type=dtype, precision=hi)
     return s1, s2
 
 

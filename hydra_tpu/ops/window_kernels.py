@@ -18,11 +18,22 @@ which is exactly the LUT dot product of BayesRRm.cpp:1774-1808 and the Gram
 matrix of the exact window scheme, in one pass over the packed bytes.
 
 All kernels tile the individual (byte) dimension via the Pallas grid and
-accumulate into their outputs across grid steps. Dots use
-precision=HIGHEST: Pallas MXU dots otherwise round f32 inputs to bf16
-(~4e-3 relative error); the 3-pass f32 decomposition is ~free here because
-the kernels are HBM-bandwidth-bound, and keeps numerics at true f32 like
-the XLA fallback path.
+accumulate into their outputs across grid steps.
+
+Reduction engine choice (measured on v5e):
+  * window_stats / window_level_sums reduce over the LANE (byte) dimension
+    to a (W, 1) output. Lowering that as an MXU matvec is pathological —
+    one live output column and (with precision=HIGHEST) a 6-pass f32
+    decomposition cost ~420 us per kernel invocation; the sweep was
+    kernel-bound, 11-60 ms at M=10K x N=50K. These kernels instead use
+    plain elementwise multiply + jnp.sum lane reductions, which Mosaic
+    lowers onto the VPU at full f32: 4.4 ms/sweep, identical numerics.
+  * window_axpy reduces over the SUBLANE (marker) dimension to a (4, TB)
+    row; the MXU vecmat is fine there and keeps precision=HIGHEST (f32
+    multi-pass), which measured on par with a VPU sublane reduction.
+  * the exact-mode Gram is a real (W, N)x(N, W) matmul and stays on the
+    MXU with precision=HIGHEST (bf16 rounding is ~4e-3 — too lossy for
+    the sequential Gibbs correction).
 """
 
 from __future__ import annotations
@@ -90,18 +101,30 @@ def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
     pk32 = pk_ref[:, :].astype(jnp.int32)  # (W, TB) widened once
     mave = mave_ref[:, :]                  # (W, 1)
     mstd = mstd_ref[:, :]
+    s1 = s2 = None
     for k in range(4):
         g, m = _decode_k(pk32, k)
-        e = eps_ref[:, k:k + 1]            # (TB, 1) — plain column slice
-        # no in-kernel transposes: Mosaic relayouts can silently corrupt
-        s1_ref[:, :] += jnp.dot(g, e, preferred_element_type=f32, precision="highest")
-        s2_ref[:, :] += jnp.dot(m, e, preferred_element_type=f32, precision="highest")
+        e = eps_ref[k:k + 1, :]            # (1, TB) row — broadcasts over W
+        # VPU lane reduction, not an MXU matvec (see module docstring)
+        a = jnp.sum(g * e, axis=1, keepdims=True)       # (W, 1)
+        b = jnp.sum(m * e, axis=1, keepdims=True)
+        s1 = a if s1 is None else s1 + a
+        s2 = b if s2 is None else s2 + b
         if exact:
             x = (g - mave * m) * mstd
-            gram_ref[:, :] += jax.lax.dot_general(
-                x, x, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)
+            # Manual 3-pass f32 matmul: Mosaic quietly ignores
+            # precision=HIGHEST for in-kernel dot_general (measured 3.3e-3
+            # rel-err on hardware, bf16-level). Splitting into bf16
+            # hi/lo parts and dropping only lo@lo keeps ~1e-5.
+            xh = x.astype(jnp.bfloat16).astype(f32)
+            xl = x - xh
+            ct = (((1,), (1,)), ((), ()))
+            gram_ref[:, :] += (
+                jax.lax.dot_general(xh, xh, ct, preferred_element_type=f32)
+                + jax.lax.dot_general(xh, xl, ct, preferred_element_type=f32)
+                + jax.lax.dot_general(xl, xh, ct, preferred_element_type=f32))
+    s1_ref[:, :] += s1
+    s2_ref[:, :] += s2
 
 
 def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
@@ -110,8 +133,8 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
                  ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """(s1, s2[, gram]) for a window.
 
-    packed: (W, NB) uint8; eps_d: (NB, 4) f32 deinterleaved residual
-    (eps.reshape(-1, 4)); mave/mstd: (W,).
+    packed: (W, NB) uint8; eps_d: (4, NB) f32 plane-major residual
+    (deinterleave(eps)); mave/mstd: (W,).
     """
     W, NB = packed.shape
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0 if exact else 3.0)
@@ -126,7 +149,7 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -194,14 +217,22 @@ def _levels_kernel(pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
         sm_ref[:, :] = jnp.zeros_like(sm_ref)
 
     pk32 = pk_ref[:, :].astype(jnp.int32)
+    s1 = s2 = sm = None
     for k in range(4):
         g, m = _decode_k(pk32, k)
         i1 = g * (2.0 - g)          # 1 where genotype == 1
         i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
-        v = v_ref[:, k:k + 1]       # (TB, 1)
-        s1_ref[:, :] += jnp.dot(i1, v, preferred_element_type=f32, precision="highest")
-        s2_ref[:, :] += jnp.dot(i2, v, preferred_element_type=f32, precision="highest")
-        sm_ref[:, :] += jnp.dot(m, v, preferred_element_type=f32, precision="highest")
+        v = v_ref[k:k + 1, :]       # (1, TB) row — broadcasts over W
+        # VPU lane reductions (see module docstring)
+        a = jnp.sum(i1 * v, axis=1, keepdims=True)
+        b = jnp.sum(i2 * v, axis=1, keepdims=True)
+        c = jnp.sum(m * v, axis=1, keepdims=True)
+        s1 = a if s1 is None else s1 + a
+        s2 = b if s2 is None else s2 + b
+        sm = c if sm is None else sm + c
+    s1_ref[:, :] += s1
+    s2_ref[:, :] += s2
+    sm_ref[:, :] += sm
 
 
 def window_level_sums(packed: jax.Array, vi_d: jax.Array,
@@ -210,7 +241,7 @@ def window_level_sums(packed: jax.Array, vi_d: jax.Array,
     """(sum_{g==1} vi, sum_{g==2} vi, sum_{mask} vi) per window marker.
 
     The BayesW partial sums (partial_sum BayesW.cpp:49-65) as one fused pass:
-    vi_d is the deinterleaved vi vector (NB, 4).
+    vi_d is the plane-major vi vector (4, NB) (deinterleave(vi)).
     """
     W, NB = packed.shape
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0)
@@ -224,7 +255,7 @@ def window_level_sums(packed: jax.Array, vi_d: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((W, 1), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
@@ -237,9 +268,12 @@ def window_level_sums(packed: jax.Array, vi_d: jax.Array,
 
 
 def deinterleave(eps: jax.Array) -> jax.Array:
-    """eps (N,) -> (N/4, 4) with eps_d[b, k] = eps[4b + k] (a plain reshape —
-    no transpose, so Mosaic-side consumers see natural layout)."""
-    return eps.reshape(-1, 4)
+    """eps (N,) -> (4, N/4) plane-major: eps_d[k, b] = eps[4b + k].
+
+    Plane k then broadcasts as a (1, TB) lane row against the (W, TB)
+    decoded plane k — no in-kernel relayout. The transpose happens in XLA
+    outside any kernel."""
+    return eps.reshape(-1, 4).T
 
 
 def interleave(out4) -> jax.Array:

@@ -48,6 +48,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# XLA's DEFAULT matmul precision on TPU rounds f32 inputs to bf16
+# (~4e-3 relative); every statistics/residual dot must stay true f32.
+_HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
@@ -180,7 +184,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     # ---- mu update (BayesRRm.cpp:1675-1686) ----
     eps = eps + state.mu * ind_mask
     epssum = psum_i(jnp.sum(eps))
-    mu = dist.norm_rng(site(_S_MU), epssum / dN, sigma_e / dN)
+    mu = dist.norm_rng(site(_S_MU), epssum / dN, sigma_e / dN, dtype=f32)
     eps = eps - mu * ind_mask
 
     # ---- marker order: per-shard permutation (BayesRRm.cpp:1691-1694) ----
@@ -226,9 +230,9 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         if cfg.use_pallas:
             # fused decode+dot(+Gram) in VMEM (ops/window_kernels.py): HBM
             # sees only the packed bytes, not W x N decoded planes
-            from hydra_tpu.ops.window_kernels import window_stats
+            from hydra_tpu.ops.window_kernels import deinterleave, window_stats
 
-            eps_d = eps.reshape(-1, 4)
+            eps_d = deinterleave(eps)
             s1, s2, gram_fused = window_stats(
                 pk, eps_d, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
                 vma=vma_axes)
@@ -239,7 +243,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         else:
             A, B = decode_planes(pk, f32)
             xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N_loc)
-            base = psum_i(jnp.dot(xt, eps, preferred_element_type=f32))
+            base = psum_i(jnp.dot(xt, eps, preferred_element_type=f32, precision=_HI))
             gram_fused = None
 
         # group-dependent per-marker rows
@@ -331,7 +335,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 buf_all = jax.lax.all_gather(xt, ma)
                 blocks = psum_i(jnp.einsum(
                     "wn,dvn->dwv", xt, buf_all,
-                    preferred_element_type=f32))
+                    preferred_element_type=f32, precision=_HI))
             elif cfg.n_dev > 1:
                 # blocks[d, j, t] = x~_j(local) . x~_t(shard d), built by an
                 # ICI ring over the window planes (n_dev (W,N)x(N,W) matmuls)
@@ -342,14 +346,14 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                     to="varying")
                 for r in range(cfg.n_dev):
                     owner = (dev + r) % cfg.n_dev
-                    blk = psum_i(jnp.dot(xt, buf.T, preferred_element_type=f32))
+                    blk = psum_i(jnp.dot(xt, buf.T, preferred_element_type=f32, precision=_HI))
                     oh = (jnp.arange(cfg.n_dev) == owner).astype(f32)
                     blocks = blocks + oh[:, None, None] * blk[None]
                     if r < cfg.n_dev - 1:
                         buf = jax.lax.ppermute(buf, MARKER_AXIS, ring)
             else:
                 blocks = psum_i(
-                    jnp.dot(xt, xt.T, preferred_element_type=f32))[None]
+                    jnp.dot(xt, xt.T, preferred_element_type=f32, precision=_HI))[None]
 
             def marker_step(corr, j):
                 num_j = num0[j] + corr[j]
@@ -398,7 +402,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             d_eps = window_axpy(pk, c1, -c1 * mave_w,
                                 vma=vma_axes).T.reshape(-1)
         else:
-            d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
+            d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
         d_eps = hier_psum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
         sum_abs_db = sum_abs_db + jax.lax.psum(jnp.sum(jnp.abs(dbeta)), ma)
@@ -448,12 +452,14 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             kg = jax.random.fold_in(site(_S_TAU), g)
             ht = dist.inv_gamma_rate_rng(
                 jax.random.fold_in(site(_S_HTAU), g), 0.5 + 0.5 * cfg.v0t,
-                1.0 / (cfg.tau0 * cfg.tau0) + 1.0 / tau)
+                1.0 / (cfg.tau0 * cfg.tau0) + 1.0 / tau, dtype=f32)
             t = dist.inv_gamma_rate_rng(
-                kg, 0.5 * (m0[g] + cfg.v0t), cfg.v0t / ht + 0.5 * scaled_bsqn)
+                kg, 0.5 * (m0[g] + cfg.v0t), cfg.v0t / ht + 0.5 * scaled_bsqn,
+                dtype=f32)
             cs = dist.inv_scaled_chisq_rng(
                 jax.random.fold_in(site(_S_CSLAB), g), cfg.v0c + m0[g],
-                (beta_sqn[g] * m0[g] + cfg.v0c * cfg.s02c) / (cfg.v0c + m0[g]))
+                (beta_sqn[g] * m0[g] + cfg.v0c * cfg.s02c) / (cfg.v0c + m0[g]),
+                dtype=f32)
             hyp_tau = jnp.where(skip[g], hyp_tau, ht)
             tau = jnp.where(skip[g], tau, t)
             c_slab = c_slab.at[g].set(jnp.where(skip[g], c_slab[g], cs))
@@ -463,7 +469,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         s02g = sigma_priors[:, 1]
         keys = jax.random.split(site(_S_SIGMAG), cfg.num_groups)
         draws = jax.vmap(
-            lambda k, d, s: dist.inv_scaled_chisq_rng(k, d, s)
+            lambda k, d, s: dist.inv_scaled_chisq_rng(k, d, s, dtype=f32)
         )(keys, v0g + m0, (beta_sqn * m0 + v0g * s02g) / jnp.maximum(v0g + m0, tiny))
         sigma_g_new = draws
         tau, hyp_tau, c_slab = state.tau, state.hyp_tau, state.c_slab
@@ -471,7 +477,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
     # pi | Dirichlet(cass + dirc) (BayesRRm.cpp:2576-2577); skipped groups keep
     # their previous row (the reference `continue`s before this update).
-    pi_draw = dist.dirichlet_rng(site(_S_PI), cass + dirc)
+    pi_draw = dist.dirichlet_rng(site(_S_PI), cass + dirc, dtype=f32)
     est_pi = jnp.where(skip[:, None], est_pi, pi_draw)
 
     # ---- fixed effects ridge sweep (BayesRRm.cpp:2648-2681) ----
@@ -486,7 +492,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             col = x_cov[:, xi[i]]
             g_old = gamma[xi[i]]
             num_f = psum_i(
-                jnp.dot(col, eps + g_old * col, preferred_element_type=f32))
+                jnp.dot(col, eps + g_old * col, preferred_element_type=f32, precision=_HI))
             g_new = num_f / denom_f + gdraws[i] * jnp.sqrt(sigma_e / denom_f)
             eps = eps + (g_old - g_new) * col
             gamma = gamma.at[xi[i]].set(g_new)
@@ -497,7 +503,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     # ---- sigmaE (BayesRRm.cpp:2685-2690) ----
     e_sqn = psum_i(jnp.sum(eps * eps))
     sigma_e = dist.inv_scaled_chisq_rng(
-        site(_S_SIGMAE), V0E + dN, (e_sqn + V0E * S02E) / (V0E + dN))
+        site(_S_SIGMAE), V0E + dN, (e_sqn + V0E * S02E) / (V0E + dN),
+        dtype=f32)
 
     new_state = BayesRRmState(
         eps=eps, beta=beta, components=comps, acum=acum, mu=mu,
@@ -548,7 +555,11 @@ class BayesRRm:
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
-            use_pallas=(jax.default_backend() == "tpu" and dtype == "float32"),
+            # window >= 8: the VPU lane reductions need a full sublane tile;
+            # Mosaic rejects W=1 reduces ("only constant accumulators
+            # supported"), and sub-8 windows are latency-bound anyway.
+            use_pallas=(jax.default_backend() == "tpu" and dtype == "float32"
+                        and window >= 8),
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),
             tau0=fhp.get("tau0", 1.0),
@@ -747,27 +758,36 @@ class BayesRRm:
         stats_specs = IterStats(m0=rep, cass=rep, beta_sqn=rep, sum_abs_dbeta=rep)
 
         fn = functools.partial(_local_iteration, cfg)
-        sharded = jax.shard_map(
+        self._sharded = sharded = jax.shard_map(
             fn, mesh=self.mesh,
             in_specs=(rep, rep, state_specs, pm2, pm, pm, pm, pm,
                       rep, rep, rep, rep, rep, pi, pi2),
             out_specs=(state_specs, stats_specs),
         )
 
+        # The genotype bytes and per-marker constants are passed as explicit
+        # jit ARGUMENTS, never closure captures: closed-over device arrays
+        # are inlined into the lowered program as dense constants, which
+        # makes the compile payload scale with M (1.25 GB of MLIR at
+        # M=100K x N=50K — it broke the remote-compile transport long
+        # before XLA even started).
+        self._consts = (self.packed, self.groups, self.mave, self.mstd,
+                        self.valid, self.cva, self.cvai, self.dirc,
+                        self.sigma_priors, self.mtot_grp, self.ind_mask,
+                        self.x_cov)
+
         def raw_step(seed, it, state):
-            return sharded(seed, it, state, self.packed, self.groups,
-                           self.mave, self.mstd, self.valid, self.cva,
-                           self.cvai, self.dirc, self.sigma_priors,
-                           self.mtot_grp, self.ind_mask, self.x_cov)
+            return sharded(seed, it, state, *self._consts)
 
         self.raw_step = raw_step  # un-jitted (compile checks, graft)
         # NOTE: no donate_argnums — buffer donation adds ~25 ms/call of host
         # bookkeeping on tunneled TPU backends; the state copy is cheap.
-        return jax.jit(raw_step)
+        return jax.jit(sharded)
 
     def step(self, state: BayesRRmState, iteration: int
              ) -> Tuple[BayesRRmState, IterStats]:
-        return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
+        return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state,
+                          *self._consts)
 
     def run_steps(self, state: BayesRRmState, start_iteration: int, k: int
                   ) -> Tuple[BayesRRmState, IterStats]:
@@ -781,13 +801,14 @@ class BayesRRm:
         (k, ...) IterStats."""
         multi = self._multi.get(k)
         if multi is None:
-            def kloop(seed, it0, st):
+            def kloop(seed, it0, st, *consts):
                 def body(st, it):
-                    return self.raw_step(seed, it, st)
+                    return self._sharded(seed, it, st, *consts)
                 return jax.lax.scan(body, st, it0 + jnp.arange(k, dtype=jnp.int32))
             multi = jax.jit(kloop)
             self._multi[k] = multi
-        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state)
+        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state,
+                     *self._consts)
 
     # ------------------------------------------------------------------
     def cov_order(self, iteration: int) -> np.ndarray:

@@ -32,6 +32,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# XLA's DEFAULT matmul precision on TPU rounds f32 inputs to bf16
+# (~4e-3 relative); every statistics/residual dot must stay true f32.
+_HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
@@ -154,8 +158,8 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         nrm_w = jnp.take(n_loc, idx, axis=0)
 
         A, B = decode_planes(pk, f32)               # (W, N)
-        s1 = psum_i(jnp.dot(A, eps, preferred_element_type=f32))   # (W, T)
-        s2 = psum_i(jnp.dot(B, eps, preferred_element_type=f32))
+        s1 = psum_i(jnp.dot(A, eps, preferred_element_type=f32, precision=_HI))   # (W, T)
+        s2 = psum_i(jnp.dot(B, eps, preferred_element_type=f32, precision=_HI))
         num0 = mstd_w * (s1 - mave_w * s2) + bold_w * dNm1[None, :]
 
         sig_g_w = jnp.transpose(sigma_g, (1, 0))[grp_w]     # (W, T)
@@ -192,8 +196,8 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         dbeta = (bold_w - bnew_w) * mstd_w                   # scaled deltas
 
         # dEps(:, t) = A^T (dbeta*mstd) - B^T (dbeta*mstd*mave), then mask
-        d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32)        # (N, T)
-        d2 = jnp.dot(B.T, dbeta * mave_w, preferred_element_type=f32)
+        d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32, precision=_HI)        # (N, T)
+        d2 = jnp.dot(B.T, dbeta * mave_w, preferred_element_type=f32, precision=_HI)
         d_eps = hier_psum(d1 - d2, cfg.n_dcn) * trait_mask
         eps = eps + d_eps
 
@@ -404,17 +408,23 @@ class BayesRRmMT:
                       rep, rep, rep, pi2, rep),
             out_specs=(state_specs, stats_specs))
 
+        # Big arrays are jit ARGUMENTS, not closure captures (closure consts
+        # get inlined into the lowered MLIR and the compile payload scales
+        # with M — see BayesRRm._build_step).
+        self._sharded = sharded
+        self._consts = (self.packed, self.groups, self.mave, self.mstd,
+                        self.valid, self.cva, self.cvai, self.mtot_grp,
+                        self.trait_mask, self.n_per_trait)
+
         def raw_step(seed, it, state):
-            return sharded(seed, it, state, self.packed, self.groups,
-                           self.mave, self.mstd, self.valid, self.cva,
-                           self.cvai, self.mtot_grp, self.trait_mask,
-                           self.n_per_trait)
+            return sharded(seed, it, state, *self._consts)
 
         self.raw_step = raw_step
-        return jax.jit(raw_step)
+        return jax.jit(sharded)
 
     def step(self, state, iteration: int):
-        return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
+        return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state,
+                          *self._consts)
 
 
     def run_steps(self, state, start_iteration: int, k: int):
@@ -422,14 +432,15 @@ class BayesRRmMT:
         identical chain to k step() calls; see BayesRRm.run_steps."""
         multi = self._multi.get(k)
         if multi is None:
-            def kloop(seed, it0, st):
+            def kloop(seed, it0, st, *consts):
                 def body(st, it):
-                    return self.raw_step(seed, it, st)
+                    return self._sharded(seed, it, st, *consts)
                 return jax.lax.scan(body, st,
                                     it0 + jnp.arange(k, dtype=jnp.int32))
             multi = jax.jit(kloop)
             self._multi[k] = multi
-        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state)
+        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state,
+                     *self._consts)
 
     def beta_global(self, state) -> np.ndarray:
         out = np.zeros((self.cfg.m_tot, self.cfg.n_traits))

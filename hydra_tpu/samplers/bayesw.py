@@ -37,6 +37,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# XLA's DEFAULT matmul precision on TPU rounds f32 inputs to bf16
+# (~4e-3 relative); every statistics/residual dot must stay true f32.
+_HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
@@ -261,15 +265,15 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             from hydra_tpu.ops.window_kernels import window_level_sums
 
             s1, s2, b_vi = window_level_sums(
-                pk, vi.reshape(-1, 4), vma=vma_axes)
+                pk, vi.reshape(-1, 4).T, vma=vma_axes)
             s1, s2, b_vi = psum_i(s1), psum_i(s2), psum_i(b_vi)
         else:
             A, B = decode_planes(pk, f32)
             i1 = ((A == 1.0) & (B == 1.0)).astype(f32)
             i2 = (A == 2.0).astype(f32)
-            s1 = psum_i(jnp.dot(i1, vi, preferred_element_type=f32))
-            s2 = psum_i(jnp.dot(i2, vi, preferred_element_type=f32))
-            b_vi = psum_i(jnp.dot(B, vi, preferred_element_type=f32))
+            s1 = psum_i(jnp.dot(i1, vi, preferred_element_type=f32, precision=_HI))
+            s2 = psum_i(jnp.dot(i2, vi, preferred_element_type=f32, precision=_HI))
+            b_vi = psum_i(jnp.dot(B, vi, preferred_element_type=f32, precision=_HI))
         s_all = psum_i(jnp.sum(vi))
         sm = s_all - b_vi                       # missing-genotype individuals
         s0 = s_all - s1 - s2 - sm
@@ -348,7 +352,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                                 vma=vma_axes).T.reshape(-1)
         else:
             xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
-            d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32)
+            d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
         d_eps = hier_psum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
         vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask  # :1832-1834
@@ -418,7 +422,8 @@ class BayesW:
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             quad_n=quad_points, shuffle=shuffle,
-            use_pallas=(jax.default_backend() == "tpu"))
+            # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
+            use_pallas=(jax.default_backend() == "tpu" and window >= 8))
         cfg = self.cfg
 
         gh_x, gh_w = gh_table(cfg.quad_n)
@@ -585,17 +590,24 @@ class BayesW:
             out_specs=(state_specs, stats_specs),
         )
 
+        # Big arrays are jit ARGUMENTS, not closure captures (closure consts
+        # get inlined into the lowered MLIR and the compile payload scales
+        # with M — see BayesRRm._build_step).
+        self._sharded = sharded
+        self._consts = (self.packed, self.groups, self.mave, self.msd,
+                        self.valid, self.sum_fail, self.cva_nz,
+                        self.mtot_grp, self.ind_mask, self.fail, self.x_cov,
+                        self.sum_fail_fix)
+
         def raw_step(seed, it, state):
-            return sharded(seed, it, state, self.packed, self.groups,
-                           self.mave, self.msd, self.valid, self.sum_fail,
-                           self.cva_nz, self.mtot_grp, self.ind_mask,
-                           self.fail, self.x_cov, self.sum_fail_fix)
+            return sharded(seed, it, state, *self._consts)
 
         self.raw_step = raw_step
-        return jax.jit(raw_step)
+        return jax.jit(sharded)
 
     def step(self, state: BayesWState, iteration: int):
-        return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state)
+        return self._step(jnp.uint32(self.seed), jnp.int32(iteration), state,
+                          *self._consts)
 
     # ------------------------------------------------------------------
 
@@ -604,14 +616,15 @@ class BayesW:
         identical chain to k step() calls; see BayesRRm.run_steps."""
         multi = self._multi.get(k)
         if multi is None:
-            def kloop(seed, it0, st):
+            def kloop(seed, it0, st, *consts):
                 def body(st, it):
-                    return self.raw_step(seed, it, st)
+                    return self._sharded(seed, it, st, *consts)
                 return jax.lax.scan(body, st,
                                     it0 + jnp.arange(k, dtype=jnp.int32))
             multi = jax.jit(kloop)
             self._multi[k] = multi
-        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state)
+        return multi(jnp.uint32(self.seed), jnp.int32(start_iteration), state,
+                     *self._consts)
 
     def cov_order(self, iteration: int) -> np.ndarray:
         """Covariate processing order at `iteration` (.xiv format parity)."""

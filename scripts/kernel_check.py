@@ -45,12 +45,15 @@ def main():
     mave = jnp.asarray(rs.uniform(0.2, 1.8, W).astype(np.float32))
     mstd = jnp.asarray(rs.uniform(0.5, 2.0, W).astype(np.float32))
 
-    # jnp reference path
+    # jnp reference path — force true-f32 matmuls: XLA's DEFAULT matmul
+    # precision on TPU rounds inputs to bf16, which would put ~3e-3 of
+    # error in the REFERENCE (observed; the fused kernel was right).
+    hi = jax.lax.Precision.HIGHEST
     G, Mk = decode_planes(packed, jnp.float32)
     xt = (G - mave[:, None] * Mk) * mstd[:, None]
-    s1_ref = G @ eps
-    s2_ref = Mk @ eps
-    gram_ref = xt @ xt.T
+    s1_ref = jnp.matmul(G, eps, precision=hi)
+    s2_ref = jnp.matmul(Mk, eps, precision=hi)
+    gram_ref = jnp.matmul(xt, xt.T, precision=hi)
 
     fails = 0
 

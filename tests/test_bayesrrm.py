@@ -87,13 +87,22 @@ def test_h2_recovery_single_device():
 
 @pytest.mark.slow
 def test_h2_recovery_windowed_matches_sequential():
-    """Window batching (exact Gram mode) must not change the posterior."""
+    """Stale-window relaxation must not move the posterior.
+
+    Tolerances calibrated by the full sweep in BIAS_SWEEP.md (M=10K x
+    N=5K, 1000 iters): h2-mean shift vs exact was <= 0.008 for W <= 256
+    and 0.014 at W=1024 (posterior sd ~0.024). On this short small-m
+    chain the MCMC noise itself is ~0.02, so 0.05 gives ~2 combined sd.
+    """
     ds, beta_true, h2 = simulate(m=192, n=400, h2=0.5, seed=5)
     mesh = make_mesh(1)
     h2_w1, bm1, _ = _run_chain(BayesRRm(ds, window=1, seed=7, mesh=mesh), 250)
     h2_w32, bm32, _ = _run_chain(BayesRRm(ds, window=32, seed=7, mesh=mesh), 250)
-    assert abs(h2_w1 - h2_w32) < 0.1
-    assert np.corrcoef(bm1, bm32)[0, 1] > 0.8
+    h2_w96, bm96, _ = _run_chain(BayesRRm(ds, window=96, seed=7, mesh=mesh), 250)
+    assert abs(h2_w1 - h2_w32) < 0.05, (h2_w1, h2_w32)
+    assert abs(h2_w1 - h2_w96) < 0.05, (h2_w1, h2_w96)
+    assert np.corrcoef(bm1, bm32)[0, 1] > 0.9
+    assert np.corrcoef(bm1, bm96)[0, 1] > 0.9
 
 
 @pytest.mark.slow

@@ -25,9 +25,9 @@ def _inputs(w=32, n=2048, seed=0):
 def test_deinterleave_roundtrip():
     x = jnp.arange(32.0)
     d = deinterleave(x)
-    assert d.shape == (8, 4)
-    np.testing.assert_array_equal(np.asarray(d[:3, 1]), [1.0, 5.0, 9.0])
-    np.testing.assert_array_equal(np.asarray(d.reshape(-1)), np.asarray(x))
+    assert d.shape == (4, 8)
+    np.testing.assert_array_equal(np.asarray(d[1, :3]), [1.0, 5.0, 9.0])
+    np.testing.assert_array_equal(np.asarray(interleave(d)), np.asarray(x))
 
 
 def test_window_stats_parity():
@@ -71,7 +71,7 @@ def test_window_level_sums_parity():
     A, B = decode_planes(packed, jnp.float32)
     i1 = np.asarray(((A == 1.0) & (B == 1.0)))
     i2 = np.asarray(A == 2.0)
-    s1, s2, sb = window_level_sums(packed, vi.reshape(-1, 4),
+    s1, s2, sb = window_level_sums(packed, deinterleave(vi),
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(s1), i1 @ np.asarray(vi), rtol=2e-4)
     np.testing.assert_allclose(np.asarray(s2), i2 @ np.asarray(vi), rtol=2e-4)
