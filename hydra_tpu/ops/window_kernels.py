@@ -171,12 +171,22 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
 
 def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
     pk32 = pk_ref[:, :].astype(jnp.int32)   # (W, TB)
-    c1 = c1_ref[:, :]                       # (1, W)
-    c2 = c2_ref[:, :]
+    # 2-pass exact-f32 MXU vecmat: the decoded planes g/m take values in
+    # {0, 1, 2} — EXACT in bf16 — so only the coefficient row needs the
+    # bf16 hi/lo split. Each pass's products are then exact and accumulate
+    # in f32 (preferred_element_type), giving full f32 accuracy at 1/3 the
+    # MXU passes of precision=HIGHEST (which Mosaic used to spend here).
+    def split(c):
+        hi = c.astype(jnp.bfloat16).astype(f32)
+        return hi, c - hi
+    c1h, c1l = split(c1_ref[:, :])          # (1, W)
+    c2h, c2l = split(c2_ref[:, :])
     for k in range(4):
         g, m = _decode_k(pk32, k)
-        contrib = (jnp.dot(c1, g, preferred_element_type=f32, precision="highest")
-                   + jnp.dot(c2, m, preferred_element_type=f32, precision="highest"))  # (1, TB)
+        contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
+                   + jnp.dot(c1l, g, preferred_element_type=f32)
+                   + jnp.dot(c2h, m, preferred_element_type=f32)
+                   + jnp.dot(c2l, m, preferred_element_type=f32))  # (1, TB)
         out_ref[k:k + 1, :] = contrib
 
 

@@ -229,12 +229,13 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
         if cfg.use_pallas:
             # fused decode+dot(+Gram) in VMEM (ops/window_kernels.py): HBM
-            # sees only the packed bytes, not W x N decoded planes
-            from hydra_tpu.ops.window_kernels import deinterleave, window_stats
+            # sees only the packed bytes, not W x N decoded planes. The
+            # residual rides the loop carry in plane-major (4, NB) layout —
+            # transposed once per sweep outside the loop, not per window.
+            from hydra_tpu.ops.window_kernels import window_stats
 
-            eps_d = deinterleave(eps)
             s1, s2, gram_fused = window_stats(
-                pk, eps_d, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
+                pk, eps, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
                 vma=vma_axes)
             base = psum_i(mstd_w * (s1 - mave_w * s2))
             if gram_fused is not None:
@@ -399,8 +400,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             from hydra_tpu.ops.window_kernels import window_axpy
 
             c1 = dbeta * mstd_w
-            d_eps = window_axpy(pk, c1, -c1 * mave_w,
-                                vma=vma_axes).T.reshape(-1)
+            d_eps = window_axpy(pk, c1, -c1 * mave_w, vma=vma_axes)  # (4, NB)
         else:
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
         d_eps = hier_psum(d_eps, cfg.n_dcn)
@@ -426,9 +426,15 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
+    if cfg.use_pallas:
+        from hydra_tpu.ops.window_kernels import deinterleave, interleave
+
+        eps = deinterleave(eps)     # (4, NB) plane-major across the sweep
     eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
         0, cfg.n_windows, window_body,
         (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
+    if cfg.use_pallas:
+        eps = interleave(eps)
 
     # ---- cross-shard reductions (BayesRRm.cpp:2515-2521) ----
     cass = jax.lax.psum(cass, ma)
