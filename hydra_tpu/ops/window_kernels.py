@@ -89,12 +89,21 @@ def _decode_k(pk32, k):
     return g, m
 
 
-def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
-                  s1_ref, s2_ref, gram_ref):
+def _decode_g(pk32, k):
+    """Genotype plane only (complete-data fast path: the mask plane is
+    identically 1 on real individuals, so s2 degenerates to sum(eps))."""
+    bit0 = ((pk32 >> (2 * k)) & 1).astype(f32)
+    bit1 = ((pk32 >> (2 * k + 1)) & 1).astype(f32)
+    return (1.0 - bit0) * (2.0 - bit1)
+
+
+def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
+                  mstd_ref, s1_ref, s2_ref, gram_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         s1_ref[:, :] = jnp.zeros_like(s1_ref)
-        s2_ref[:, :] = jnp.zeros_like(s2_ref)
+        if not complete:
+            s2_ref[:, :] = jnp.zeros_like(s2_ref)
         if exact:
             gram_ref[:, :] = jnp.zeros_like(gram_ref)
 
@@ -103,13 +112,18 @@ def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
     mstd = mstd_ref[:, :]
     s1 = s2 = None
     for k in range(4):
-        g, m = _decode_k(pk32, k)
+        if complete:
+            g = _decode_g(pk32, k)
+            m = None
+        else:
+            g, m = _decode_k(pk32, k)
         e = eps_ref[k:k + 1, :]            # (1, TB) row — broadcasts over W
         # VPU lane reduction, not an MXU matvec (see module docstring)
         a = jnp.sum(g * e, axis=1, keepdims=True)       # (W, 1)
-        b = jnp.sum(m * e, axis=1, keepdims=True)
         s1 = a if s1 is None else s1 + a
-        s2 = b if s2 is None else s2 + b
+        if not complete:
+            b = jnp.sum(m * e, axis=1, keepdims=True)
+            s2 = b if s2 is None else s2 + b
         if exact:
             x = (g - mave * m) * mstd
             # Manual 3-pass f32 matmul: Mosaic quietly ignores
@@ -124,19 +138,28 @@ def _stats_kernel(exact: bool, pk_ref, eps_ref, mave_ref, mstd_ref,
                 + jax.lax.dot_general(xh, xl, ct, preferred_element_type=f32)
                 + jax.lax.dot_general(xl, xh, ct, preferred_element_type=f32))
     s1_ref[:, :] += s1
-    s2_ref[:, :] += s2
+    if not complete:
+        s2_ref[:, :] += s2
 
 
 def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
                  mstd: jax.Array, exact: bool, tile_bytes: int = 0,
-                 vma=None, interpret: bool = False
-                 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+                 vma=None, interpret: bool = False, complete: bool = False
+                 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """(s1, s2[, gram]) for a window.
 
     packed: (W, NB) uint8; eps_d: (4, NB) f32 plane-major residual
     (deinterleave(eps)); mave/mstd: (W,).
+
+    complete=True (stale mode, no missing genotypes anywhere): the mask
+    plane is identically 1 on real individuals, so s2 = sum(eps) for every
+    marker — the kernel skips the mask decode+reduce (~30% of its VPU
+    work) and returns s2=None; the caller uses its own sum(eps_d) (pad
+    lanes of eps are zero by invariant). Ignored when exact=True (the
+    Gram needs the mask to zero pad columns of x~).
     """
     W, NB = packed.shape
+    complete = complete and not exact
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0 if exact else 3.0)
     grid = (NB // tb,)
 
@@ -161,15 +184,16 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
         ],
     )
     s1, s2, gram = pl.pallas_call(
-        functools.partial(_stats_kernel, exact),
+        functools.partial(_stats_kernel, exact, complete),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(packed, eps_d, mave.reshape(W, 1), mstd.reshape(W, 1))
-    return s1[:, 0], s2[:, 0], (gram if exact else None)
+    return (s1[:, 0], None if complete else s2[:, 0],
+            (gram if exact else None))
 
 
-def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
+def _axpy_kernel(complete: bool, pk_ref, c1_ref, c2_ref, out_ref):
     pk32 = pk_ref[:, :].astype(jnp.int32)   # (W, TB)
     # 2-pass exact-f32 MXU vecmat: the decoded planes g/m take values in
     # {0, 1, 2} — EXACT in bf16 — so only the coefficient row needs the
@@ -180,23 +204,36 @@ def _axpy_kernel(pk_ref, c1_ref, c2_ref, out_ref):
         hi = c.astype(jnp.bfloat16).astype(f32)
         return hi, c - hi
     c1h, c1l = split(c1_ref[:, :])          # (1, W)
-    c2h, c2l = split(c2_ref[:, :])
+    if not complete:
+        c2h, c2l = split(c2_ref[:, :])
     for k in range(4):
-        g, m = _decode_k(pk32, k)
-        contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
-                   + jnp.dot(c1l, g, preferred_element_type=f32)
-                   + jnp.dot(c2h, m, preferred_element_type=f32)
-                   + jnp.dot(c2l, m, preferred_element_type=f32))  # (1, TB)
+        if complete:
+            # complete data: M_k == 1 on real individuals — the c2 term is
+            # the scalar sum(c2), added (and pad-masked) by the caller
+            g = _decode_g(pk32, k)
+            contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
+                       + jnp.dot(c1l, g, preferred_element_type=f32))
+        else:
+            g, m = _decode_k(pk32, k)
+            contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
+                       + jnp.dot(c1l, g, preferred_element_type=f32)
+                       + jnp.dot(c2h, m, preferred_element_type=f32)
+                       + jnp.dot(c2l, m, preferred_element_type=f32))  # (1, TB)
         out_ref[k:k + 1, :] = contrib
 
 
 def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
-                tile_bytes: int = 0, vma=None, interpret: bool = False
-                ) -> jax.Array:
+                tile_bytes: int = 0, vma=None, interpret: bool = False,
+                complete: bool = False) -> jax.Array:
     """dEps_d (4, NB) = sum_m c1_m * G_m + c2_m * M_m in deinterleaved layout.
 
     For the residual update c1 = dbeta * mstd, c2 = -dbeta * mstd * mave
     (sparse_scaadd equivalent, BayesRRm.cpp:250-281).
+
+    complete=True: returns only the genotype part sum_m c1_m G_m; the
+    caller must add sum(c2) and zero the pad lanes (multiply by the
+    plane-major individual mask) itself:
+        d_eps = (window_axpy(..., complete=True) + c2.sum()) * ind_mask4
     """
     W, NB = packed.shape
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
@@ -214,44 +251,55 @@ def window_axpy(packed: jax.Array, c1: jax.Array, c2: jax.Array,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _axpy_kernel, grid_spec=grid_spec, out_shape=out_shape,
+        functools.partial(_axpy_kernel, complete),
+        grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(packed, c1.reshape(1, W).astype(f32), c2.reshape(1, W).astype(f32))
 
 
-def _levels_kernel(pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
+def _levels_kernel(complete: bool, pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         s1_ref[:, :] = jnp.zeros_like(s1_ref)
         s2_ref[:, :] = jnp.zeros_like(s2_ref)
-        sm_ref[:, :] = jnp.zeros_like(sm_ref)
+        if not complete:
+            sm_ref[:, :] = jnp.zeros_like(sm_ref)
 
     pk32 = pk_ref[:, :].astype(jnp.int32)
     s1 = s2 = sm = None
     for k in range(4):
-        g, m = _decode_k(pk32, k)
+        if complete:
+            g = _decode_g(pk32, k)
+        else:
+            g, m = _decode_k(pk32, k)
         i1 = g * (2.0 - g)          # 1 where genotype == 1
         i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
         v = v_ref[k:k + 1, :]       # (1, TB) row — broadcasts over W
         # VPU lane reductions (see module docstring)
         a = jnp.sum(i1 * v, axis=1, keepdims=True)
         b = jnp.sum(i2 * v, axis=1, keepdims=True)
-        c = jnp.sum(m * v, axis=1, keepdims=True)
         s1 = a if s1 is None else s1 + a
         s2 = b if s2 is None else s2 + b
-        sm = c if sm is None else sm + c
+        if not complete:
+            c = jnp.sum(m * v, axis=1, keepdims=True)
+            sm = c if sm is None else sm + c
     s1_ref[:, :] += s1
     s2_ref[:, :] += s2
-    sm_ref[:, :] += sm
+    if not complete:
+        sm_ref[:, :] += sm
 
 
 def window_level_sums(packed: jax.Array, vi_d: jax.Array,
                       tile_bytes: int = 0, vma=None,
-                      interpret: bool = False):
+                      interpret: bool = False, complete: bool = False):
     """(sum_{g==1} vi, sum_{g==2} vi, sum_{mask} vi) per window marker.
 
     The BayesW partial sums (partial_sum BayesW.cpp:49-65) as one fused pass:
     vi_d is the plane-major vi vector (4, NB) (deinterleave(vi)).
+
+    complete=True: the mask plane is 1 on real individuals, so its sum is
+    just sum(vi) (vi is zero on pad lanes); returns sm=None and the caller
+    uses its own sum(vi).
     """
     W, NB = packed.shape
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0)
@@ -271,10 +319,11 @@ def window_level_sums(packed: jax.Array, vi_d: jax.Array,
                                 memory_space=pltpu.VMEM)] * 3,
     )
     s1, s2, sb = pl.pallas_call(
-        _levels_kernel, grid_spec=grid_spec,
+        functools.partial(_levels_kernel, complete),
+        grid_spec=grid_spec,
         out_shape=[sds(), sds(), sds()], interpret=interpret,
     )(packed, vi_d)
-    return s1[:, 0], s2[:, 0], sb[:, 0]
+    return s1[:, 0], s2[:, 0], (None if complete else sb[:, 0])
 
 
 def deinterleave(eps: jax.Array) -> jax.Array:

@@ -92,6 +92,7 @@ class BayesRRmConfig:
     fh: bool = False
     shuffle: bool = True
     use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
+    complete: bool = False     # no missing genotypes anywhere (fast kernels)
     dtype: str = "float32"     # accumulation dtype (--dtype; reference is f64)
     # FH hyper-priors (options.hpp:89-96)
     v0L: float = 3.0
@@ -236,7 +237,11 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
             s1, s2, gram_fused = window_stats(
                 pk, eps, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
-                vma=vma_axes)
+                vma=vma_axes, complete=cfg.complete)
+            if s2 is None:
+                # complete data: every marker's mask dot is just sum(eps)
+                # (pad lanes of eps are zero by invariant)
+                s2 = jnp.sum(eps)
             base = psum_i(mstd_w * (s1 - mave_w * s2))
             if gram_fused is not None:
                 gram_fused = psum_i(gram_fused)
@@ -400,7 +405,15 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             from hydra_tpu.ops.window_kernels import window_axpy
 
             c1 = dbeta * mstd_w
-            d_eps = window_axpy(pk, c1, -c1 * mave_w, vma=vma_axes)  # (4, NB)
+            c2 = -c1 * mave_w
+            if cfg.complete:
+                # kernel returns only the genotype part; the mask plane is
+                # 1 on real individuals so the c2 term is a broadcast of
+                # sum(c2), zeroed on pad lanes by the plane-major mask
+                d_eps = (window_axpy(pk, c1, c2, vma=vma_axes, complete=True)
+                         + jnp.sum(c2)) * ind_mask4
+            else:
+                d_eps = window_axpy(pk, c1, c2, vma=vma_axes)  # (4, NB)
         else:
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
         d_eps = hier_psum(d_eps, cfg.n_dcn)
@@ -430,6 +443,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         eps = deinterleave(eps)     # (4, NB) plane-major across the sweep
+        ind_mask4 = deinterleave(ind_mask)
     eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
         0, cfg.n_windows, window_body,
         (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
@@ -561,6 +575,9 @@ class BayesRRm:
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
+            # complete data (no missing genotypes among real individuals):
+            # mask-plane work in the window kernels degenerates to sums
+            complete=bool(np.asarray(geno.nm).sum() == 0),
             # window >= 8: the VPU lane reductions need a full sublane tile;
             # Mosaic rejects W=1 reduces ("only constant accumulators
             # supported"), and sub-8 windows are latency-bound anyway.

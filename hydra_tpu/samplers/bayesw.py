@@ -91,6 +91,7 @@ class BayesWConfig:
     quad_n: int = 25
     shuffle: bool = True
     use_pallas: bool = False
+    complete: bool = False    # no missing genotypes (fast kernels)
 
     @property
     def n_windows(self) -> int:
@@ -265,7 +266,10 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             from hydra_tpu.ops.window_kernels import window_level_sums
 
             s1, s2, b_vi = window_level_sums(
-                pk, vi.reshape(-1, 4).T, vma=vma_axes)
+                pk, vi, vma=vma_axes, complete=cfg.complete)
+            if b_vi is None:
+                # complete data: the mask dot is sum(vi) for every marker
+                b_vi = jnp.sum(vi)
             s1, s2, b_vi = psum_i(s1), psum_i(s2), psum_i(b_vi)
         else:
             A, B = decode_planes(pk, f32)
@@ -348,14 +352,20 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             from hydra_tpu.ops.window_kernels import window_axpy
 
             c1 = dbeta * inv_sd
-            d_eps = window_axpy(pk, c1, -c1 * mave_w,
-                                vma=vma_axes).T.reshape(-1)
+            c2 = -c1 * mave_w
+            if cfg.complete:
+                d_eps = (window_axpy(pk, c1, c2, vma=vma_axes, complete=True)
+                         + jnp.sum(c2)) * ind_mask4
+            else:
+                d_eps = window_axpy(pk, c1, c2, vma=vma_axes)  # (4, NB)
+            mask_l = ind_mask4
         else:
             xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
+            mask_l = ind_mask
         d_eps = hier_psum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
-        vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask  # :1832-1834
+        vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * mask_l  # :1832-1834
 
         flat = grp_w * cfg.k + comp
         cass = cass + jax.ops.segment_sum(
@@ -367,8 +377,18 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
+    if cfg.use_pallas:
+        from hydra_tpu.ops.window_kernels import deinterleave, interleave
+
+        # residual + vi ride the loop carry plane-major (4, NB): one
+        # transpose per sweep instead of one per window (see BayesRRm)
+        eps = deinterleave(eps)
+        vi = deinterleave(vi)
+        ind_mask4 = deinterleave(ind_mask)
     eps, vi, beta, comps, cass = jax.lax.fori_loop(
         0, cfg.n_windows, window_body, (eps, vi, beta, comps, cass0))
+    if cfg.use_pallas:
+        eps = interleave(eps)
 
     cass = jax.lax.psum(cass, ma)
     beta_sqn = jax.lax.psum(
@@ -422,6 +442,7 @@ class BayesW:
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             quad_n=quad_points, shuffle=shuffle,
+            complete=bool(np.asarray(geno.nm).sum() == 0),
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8))
         cfg = self.cfg

@@ -87,6 +87,33 @@ def main():
     check("level_sums.s2", l2, ((G == 2.0) & (Mk == 1.0)).astype(np.float32) @ vi)
     check("level_sums.sm", lm, Mk @ vi)
 
+    # complete-data fast paths (no missing codes): rewrite 01 -> 00 host-side
+    pk_np = np.asarray(packed)
+    comp = np.zeros_like(pk_np)
+    for shift in (0, 2, 4, 6):
+        code = (pk_np >> shift) & 0b11
+        comp |= np.where(code == 0b01, 0b00, code).astype(np.uint8) << shift
+    pkc = jnp.asarray(comp)
+    Gc, _ = decode_planes(pkc, jnp.float32)
+    s1c, s2c, _ = jax.jit(
+        lambda p, e, a, s: window_stats(p, deinterleave(e), a, s, False,
+                                        complete=True)
+    )(pkc, eps, mave, mstd)
+    assert s2c is None
+    check("stats.complete.s1", s1c, jnp.matmul(Gc, eps, precision=hi))
+    dec = jax.jit(lambda p, a, b: interleave(
+        window_axpy(p, a, b, complete=True) + jnp.sum(b)))(pkc, c1, c2)
+    check("axpy.complete", dec,
+          jnp.matmul(c1, Gc, precision=hi) + jnp.sum(c2))
+    lc1, lc2, lcm = jax.jit(
+        lambda p, v: window_level_sums(p, deinterleave(v), complete=True)
+    )(pkc, vi)
+    assert lcm is None
+    check("levels.complete.s1", lc1,
+          jnp.matmul((Gc == 1.0).astype(np.float32), vi, precision=hi))
+    check("levels.complete.s2", lc2,
+          jnp.matmul((Gc == 2.0).astype(np.float32), vi, precision=hi))
+
     # fused exact-recurrence kernel vs the jnp scan it replaces
     K = 4
     num0 = jnp.asarray(rs.randn(W).astype(np.float32))

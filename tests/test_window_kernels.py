@@ -86,3 +86,49 @@ def test_window_stats_multi_tile():
     s1, s2, _ = window_stats(packed, deinterleave(eps), mave, mstd,
                              exact=False, tile_bytes=256, interpret=True)
     np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4)
+
+
+def test_window_stats_complete_fast_path():
+    """complete=True skips the mask plane; s1 must be unchanged and the
+    caller-side s2 = sum(eps) must equal the mask dot when no genotype is
+    missing (pad lanes of eps zero)."""
+    packed, eps, mave, mstd = _inputs(w=16, n=4096, seed=11)
+    # rewrite any missing codes (01) to hom-alt (00) to make data complete
+    pk = np.asarray(packed)
+    out = np.zeros_like(pk)
+    for shift in (0, 2, 4, 6):
+        code = (pk >> shift) & 0b11
+        code = np.where(code == 0b01, 0b00, code)
+        out |= code << shift
+    packed = jnp.asarray(out)
+    A, B = decode_planes(packed, jnp.float32)
+    assert float(jnp.min(B)) == 1.0  # complete
+    s1_full, s2_full, _ = window_stats(packed, deinterleave(eps), mave, mstd,
+                                       exact=False, interpret=True)
+    s1_fast, s2_fast, _ = window_stats(packed, deinterleave(eps), mave, mstd,
+                                       exact=False, interpret=True,
+                                       complete=True)
+    assert s2_fast is None
+    np.testing.assert_allclose(np.asarray(s1_fast), np.asarray(s1_full),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(eps)) * np.ones(16),
+                               np.asarray(s2_full), rtol=1e-5)
+
+
+def test_window_axpy_complete_fast_path():
+    packed, eps, mave, mstd = _inputs(w=16, n=4096, seed=13)
+    pk = np.asarray(packed)
+    out = np.zeros_like(pk)
+    for shift in (0, 2, 4, 6):
+        code = (pk >> shift) & 0b11
+        code = np.where(code == 0b01, 0b00, code)
+        out |= code << shift
+    packed = jnp.asarray(out)
+    rs = np.random.RandomState(0)
+    c1 = jnp.asarray((rs.randn(16) * 0.1).astype(np.float32))
+    c2 = jnp.asarray((rs.randn(16) * 0.1).astype(np.float32))
+    full = window_axpy(packed, c1, c2, interpret=True)
+    fast = (window_axpy(packed, c1, c2, interpret=True, complete=True)
+            + jnp.sum(c2))  # no pad individuals here: mask is all-ones
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
