@@ -9,6 +9,7 @@ equivalence the reference could never test without a cluster.
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from hydra_tpu.data.genotypes import GenotypeData, Dataset, make_default_groups
 from hydra_tpu.io.plink import write_bed, read_bed
@@ -263,3 +264,30 @@ def test_one_step_runs_and_shapes():
     b = sampler.beta_global(state)
     assert b.shape == (64,)
     assert np.isfinite(b).all()
+
+
+def test_f64_mode_parity():
+    """--dtype float64: state stays f64 through fused sweeps and the chain
+    tracks the f32 one closely at matched seed (VERDICT r1 item 10; the
+    full N=500K audit lives in F32_AUDIT.md)."""
+    import jax
+    ds, _, _ = simulate(m=64, n=300, h2=0.5, seed=21)
+    try:
+        jax.config.update("jax_enable_x64", True)
+        s64 = BayesRRm(ds, window=8, seed=31, mesh=make_mesh(2),
+                       dtype="float64")
+        st = s64.init_state()
+        st, _ = s64.run_steps(st, 1, 10)
+        assert st.sigma_e.dtype == jnp.float64
+        assert st.eps.dtype == jnp.float64
+        h2_64 = float(np.sum(np.asarray(st.sigma_g))
+                      / (np.sum(np.asarray(st.sigma_g)) + float(st.sigma_e)))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    s32 = BayesRRm(ds, window=8, seed=31, mesh=make_mesh(2))
+    st32 = s32.init_state()
+    st32, _ = s32.run_steps(st32, 1, 10)
+    h2_32 = float(np.sum(np.asarray(st32.sigma_g))
+                  / (np.sum(np.asarray(st32.sigma_g)) + float(st32.sigma_e)))
+    # different rounding, same seed: early-chain h2 should still be close
+    assert abs(h2_64 - h2_32) < 0.15, (h2_64, h2_32)
