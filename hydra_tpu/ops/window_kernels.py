@@ -339,3 +339,138 @@ def interleave(out4) -> jax.Array:
     """(4, NB) plane-major output (window_axpy) -> (4*NB,) individual order.
     The transpose happens in XLA outside any kernel."""
     return out4.T.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-trait variants (BayesRRm-mt): T phenotypes share one decode pass.
+# The XLA path materializes the decoded (W, N) planes in HBM every window
+# (~100 MB at W=256, N=50K) to feed (W,N)x(N,T) matmuls; these kernels keep
+# the decode in VMEM and batch the T right-hand sides instead.
+#
+# Plane-major multi-trait layout: row k*T + t holds plane k of trait t,
+# i.e. eps_t[k*T + t, b] = eps[4b + k, t]  (see deinterleave_mt).
+# ---------------------------------------------------------------------------
+
+
+def _stats_mt_kernel(T: int, pk_ref, eps_ref, s1_ref, s2_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s1_ref[:, :] = jnp.zeros_like(s1_ref)
+        s2_ref[:, :] = jnp.zeros_like(s2_ref)
+
+    pk32 = pk_ref[:, :].astype(jnp.int32)     # (W, TB)
+    s1 = [None] * T
+    s2 = [None] * T
+    for k in range(4):
+        g, m = _decode_k(pk32, k)
+        for t in range(T):
+            e = eps_ref[k * T + t: k * T + t + 1, :]        # (1, TB)
+            a = jnp.sum(g * e, axis=1, keepdims=True)       # (W, 1)
+            b = jnp.sum(m * e, axis=1, keepdims=True)
+            s1[t] = a if s1[t] is None else s1[t] + a
+            s2[t] = b if s2[t] is None else s2[t] + b
+    for t in range(T):
+        s1_ref[:, t: t + 1] += s1[t]
+        s2_ref[:, t: t + 1] += s2[t]
+
+
+def window_stats_mt(packed: jax.Array, eps_t: jax.Array, n_traits: int,
+                    tile_bytes: int = 0, vma=None, interpret: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """(s1, s2) each (W, T): per-trait genotype/mask dots for one window.
+
+    packed: (W, NB) uint8; eps_t: (4*T, NB) plane-major multi-trait
+    residual (deinterleave_mt of the (n_pad, T) residual).
+    """
+    W, NB = packed.shape
+    T = n_traits
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
+    grid = (NB // tb,)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * T, tb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    s1, s2 = pl.pallas_call(
+        functools.partial(_stats_mt_kernel, T),
+        grid_spec=grid_spec,
+        out_shape=[sds((W, T)), sds((W, T))],
+        interpret=interpret,
+    )(packed, eps_t)
+    return s1, s2
+
+
+def _axpy_mt_kernel(T: int, pk_ref, c1_ref, c2_ref, out_ref):
+    pk32 = pk_ref[:, :].astype(jnp.int32)     # (W, TB)
+
+    def split(c):
+        hi = c.astype(jnp.bfloat16).astype(f32)
+        return hi, c - hi
+    c1h, c1l = split(c1_ref[:, :])            # (T, W)
+    c2h, c2l = split(c2_ref[:, :])
+    for k in range(4):
+        g, m = _decode_k(pk32, k)
+        # true (T, W) x (W, TB) matmuls — T rows ride the same MXU passes
+        # a single-trait vecmat would use (see _axpy_kernel for the exact-
+        # f32 hi/lo argument; g/m are bf16-exact)
+        contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
+                   + jnp.dot(c1l, g, preferred_element_type=f32)
+                   + jnp.dot(c2h, m, preferred_element_type=f32)
+                   + jnp.dot(c2l, m, preferred_element_type=f32))  # (T, TB)
+        out_ref[k * T:(k + 1) * T, :] = contrib
+
+
+def window_axpy_mt(packed: jax.Array, c1: jax.Array, c2: jax.Array,
+                   tile_bytes: int = 0, vma=None, interpret: bool = False
+                   ) -> jax.Array:
+    """dEps_t (4*T, NB) = sum_m c1[t,m] G_m + c2[t,m] M_m per trait.
+
+    c1/c2: (T, W) — for the mt residual update c1 = (dbeta*mstd).T and
+    c2 = -(dbeta*mstd*mave).T (dbeta already carries mstd in the sampler).
+    """
+    W, NB = packed.shape
+    T = c1.shape[0]
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
+    grid = (NB // tb,)
+    out_shape = (jax.ShapeDtypeStruct((4 * T, NB), f32, vma=set(vma)) if vma
+                 else jax.ShapeDtypeStruct((4 * T, NB), f32))
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4 * T, tb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_axpy_mt_kernel, T),
+        grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(packed, c1.astype(f32), c2.astype(f32))
+
+
+def deinterleave_mt(eps: jax.Array) -> jax.Array:
+    """(n_pad, T) -> (4*T, NB) with row k*T + t = plane k of trait t."""
+    n_pad, T = eps.shape
+    return eps.reshape(-1, 4, T).transpose(1, 2, 0).reshape(4 * T, -1)
+
+
+def interleave_mt(eps_t: jax.Array, n_traits: int) -> jax.Array:
+    """(4*T, NB) -> (n_pad, T) individual-major."""
+    T = n_traits
+    nb = eps_t.shape[1]
+    return eps_t.reshape(4, T, nb).transpose(2, 0, 1).reshape(4 * nb, T)

@@ -62,6 +62,7 @@ class MtConfig:
     n_ind: int = 1
     n_dcn: int = 1
     shuffle: bool = True
+    use_pallas: bool = False   # fused multi-trait window kernels (TPU)
 
     @property
     def n_windows(self):
@@ -103,9 +104,11 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     if cfg.n_ind > 1:
         def psum_i(x):
             return jax.lax.psum(x, IND_AXIS)
+        vma_axes = ma + (IND_AXIS,)
     else:
         def psum_i(x):
             return x
+        vma_axes = ma
 
     it_key = jax.random.fold_in(jax.random.key(seed), it)
 
@@ -157,9 +160,17 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         u_w = jnp.take(u_loc, idx, axis=0)
         nrm_w = jnp.take(n_loc, idx, axis=0)
 
-        A, B = decode_planes(pk, f32)               # (W, N)
-        s1 = psum_i(jnp.dot(A, eps, preferred_element_type=f32, precision=_HI))   # (W, T)
-        s2 = psum_i(jnp.dot(B, eps, preferred_element_type=f32, precision=_HI))
+        if cfg.use_pallas:
+            # fused decode+dot over all T traits in VMEM: the XLA path
+            # materializes two (W, N) planes in HBM every window
+            from hydra_tpu.ops.window_kernels import window_stats_mt
+
+            s1, s2 = window_stats_mt(pk, eps, T, vma=vma_axes)  # (W, T)
+            s1, s2 = psum_i(s1), psum_i(s2)
+        else:
+            A, B = decode_planes(pk, f32)           # (W, N)
+            s1 = psum_i(jnp.dot(A, eps, preferred_element_type=f32, precision=_HI))   # (W, T)
+            s2 = psum_i(jnp.dot(B, eps, preferred_element_type=f32, precision=_HI))
         num0 = mstd_w * (s1 - mave_w * s2) + bold_w * dNm1[None, :]
 
         sig_g_w = jnp.transpose(sigma_g, (1, 0))[grp_w]     # (W, T)
@@ -196,9 +207,16 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         dbeta = (bold_w - bnew_w) * mstd_w                   # scaled deltas
 
         # dEps(:, t) = A^T (dbeta*mstd) - B^T (dbeta*mstd*mave), then mask
-        d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32, precision=_HI)        # (N, T)
-        d2 = jnp.dot(B.T, dbeta * mave_w, preferred_element_type=f32, precision=_HI)
-        d_eps = hier_psum(d1 - d2, cfg.n_dcn) * trait_mask
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import window_axpy_mt
+
+            d_eps = window_axpy_mt(pk, dbeta.T, -(dbeta * mave_w).T,
+                                   vma=vma_axes)          # (4T, NB)
+            d_eps = hier_psum(d_eps, cfg.n_dcn) * tm_t
+        else:
+            d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32, precision=_HI)    # (N, T)
+            d2 = jnp.dot(B.T, dbeta * mave_w, preferred_element_type=f32, precision=_HI)
+            d_eps = hier_psum(d1 - d2, cfg.n_dcn) * trait_mask
         eps = eps + d_eps
 
         flat = (grp_w[:, None] * cfg.k + comp).reshape(-1)   # (W*T,)
@@ -215,8 +233,17 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((T, cfg.num_groups, cfg.k), f32), ma, to="varying")
+    if cfg.use_pallas:
+        from hydra_tpu.ops.window_kernels import deinterleave_mt, interleave_mt
+
+        # residual rides the loop plane-major (4T, NB); transposed once per
+        # sweep, not once per window (see BayesRRm)
+        eps = deinterleave_mt(eps)
+        tm_t = deinterleave_mt(trait_mask)
     eps, beta, comps, cass = jax.lax.fori_loop(
         0, cfg.n_windows, window_body, (eps, beta, comps, cass0))
+    if cfg.use_pallas:
+        eps = interleave_mt(eps, T)
 
     cass = jax.lax.psum(cass, ma)
     bsq = jax.vmap(lambda b: jax.ops.segment_sum(
@@ -278,7 +305,9 @@ class BayesRRmMT:
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
-            n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle)
+            n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle,
+            # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
+            use_pallas=(jax.default_backend() == "tpu" and window >= 8))
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes
@@ -293,22 +322,35 @@ class BayesRRmMT:
         self._mask = mask
         self._nonas = nonas
 
-        # per-(marker, trait) masked stats (BayesRRm_mt.cpp:604-665)
+        # per-(marker, trait) masked stats (BayesRRm_mt.cpp:604-665),
+        # computed BLOCKWISE over markers — a dense (M, N) host decode is
+        # gigabytes at bench scale and dominated init time.
         from hydra_tpu.io.plink import decode_bed_numpy
-        g_np, miss_np = decode_bed_numpy(geno.packed, geno.n)
-        mave = np.zeros((geno.m, T))
-        mstd = np.zeros((geno.m, T))
-        for t in range(T):
-            mt = miss_np * mask[t][None, :]
-            cnt = mt.sum(axis=1)
-            s = (g_np * mt).sum(axis=1)
-            mave[:, t] = s / np.maximum(cnt, 1)
-            var = (mt * (g_np - mave[:, t][:, None]) ** 2).sum(axis=1)
-            with np.errstate(divide="ignore"):
-                mstd[:, t] = np.sqrt(np.maximum(cnt - 1, 1) / var)
-        badm = ~np.isfinite(mstd)
-        mstd[badm] = 0.0
-        mave[badm] = 0.0
+        if mask.all():
+            # no NaN phenotypes: masked stats == the standard per-marker
+            # stats already computed by GenotypeData (counts-based, native)
+            mave = np.tile(geno.mave[:, None], (1, T))
+            mstd = np.tile(geno.mstd[:, None], (1, T))
+        else:
+            mave = np.zeros((geno.m, T))
+            mstd = np.zeros((geno.m, T))
+            blk = max(1, (1 << 27) // max(geno.n, 1))   # ~128 MB f64 blocks
+            for s0 in range(0, geno.m, blk):
+                e0 = min(geno.m, s0 + blk)
+                g_np, miss_np = decode_bed_numpy(geno.packed[s0:e0], geno.n)
+                for t in range(T):
+                    mt = miss_np * mask[t][None, :]
+                    cnt = mt.sum(axis=1)
+                    s = (g_np * mt).sum(axis=1)
+                    mave[s0:e0, t] = s / np.maximum(cnt, 1)
+                    var = (mt * (g_np - mave[s0:e0, t][:, None]) ** 2
+                           ).sum(axis=1)
+                    with np.errstate(divide="ignore"):
+                        mstd[s0:e0, t] = np.sqrt(
+                            np.maximum(cnt - 1, 1) / var)
+            badm = ~np.isfinite(mstd)
+            mstd[badm] = 0.0
+            mave[badm] = 0.0
 
         m_glob = cfg.m_glob
         nb = geno.packed.shape[1]

@@ -152,6 +152,26 @@ def main():
     check("window_gibbs.comp", c.astype(np.float32), np.asarray(c_ref, np.float32), tol=0)
     check("window_gibbs.acum", a, a_ref)
 
+    # multi-trait fused kernels (BayesRRm-mt): shared decode, batched RHS
+    from hydra_tpu.ops.window_kernels import (
+        deinterleave_mt, interleave_mt, window_axpy_mt, window_stats_mt)
+
+    T = 3
+    eps_mt = jnp.asarray(rs.randn(N, T).astype(np.float32))
+    m1, m2 = jax.jit(
+        lambda p, e: window_stats_mt(p, deinterleave_mt(e), T)
+    )(packed, eps_mt)
+    check("stats_mt.s1", m1, jnp.matmul(G, eps_mt, precision=hi))
+    check("stats_mt.s2", m2, jnp.matmul(Mk, eps_mt, precision=hi))
+
+    c1m = jnp.asarray(rs.randn(T, W).astype(np.float32) * 0.1)
+    c2m = jnp.asarray(rs.randn(T, W).astype(np.float32) * 0.1)
+    dem = jax.jit(lambda p, a, b: interleave_mt(window_axpy_mt(p, a, b), T)
+                  )(packed, c1m, c2m)
+    check("axpy_mt", dem,
+          jnp.matmul(G.T, c1m.T, precision=hi)
+          + jnp.matmul(Mk.T, c2m.T, precision=hi))
+
     if fails:
         print(f"FATAL  : {fails} kernel check(s) failed", flush=True)
         return 1

@@ -132,3 +132,61 @@ def test_window_axpy_complete_fast_path():
             + jnp.sum(c2))  # no pad individuals here: mask is all-ones
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+def test_deinterleave_mt_roundtrip():
+    from hydra_tpu.ops.window_kernels import deinterleave_mt, interleave_mt
+
+    T = 3
+    x = jnp.arange(32.0 * T).reshape(32, T)
+    d = deinterleave_mt(x)
+    assert d.shape == (4 * T, 8)
+    # row k*T + t, col b == eps[4b + k, t]
+    np.testing.assert_allclose(float(d[1 * T + 2, 3]), float(x[13, 2]))
+    np.testing.assert_array_equal(np.asarray(interleave_mt(d, T)),
+                                  np.asarray(x))
+
+
+def test_window_stats_mt_parity():
+    from hydra_tpu.ops.window_kernels import deinterleave_mt, window_stats_mt
+
+    T = 3
+    packed, _, _, _ = _inputs(w=16, n=2048, seed=21)
+    rs = np.random.RandomState(22)
+    eps = jnp.asarray(rs.randn(2048, T).astype(np.float32))
+    A, B = decode_planes(packed, jnp.float32)
+    s1_ref = np.asarray(A) @ np.asarray(eps)    # (W, T)
+    s2_ref = np.asarray(B) @ np.asarray(eps)
+    s1, s2 = window_stats_mt(packed, deinterleave_mt(eps), T, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), s2_ref, rtol=2e-4, atol=1e-4)
+
+
+def test_window_axpy_mt_parity():
+    from hydra_tpu.ops.window_kernels import interleave_mt, window_axpy_mt
+
+    T = 3
+    W = 16
+    packed, _, _, _ = _inputs(w=W, n=2048, seed=31)
+    rs = np.random.RandomState(32)
+    c1 = jnp.asarray((rs.randn(T, W) * 0.01).astype(np.float32))
+    c2 = jnp.asarray((rs.randn(T, W) * 0.01).astype(np.float32))
+    A, B = decode_planes(packed, jnp.float32)
+    # ref: dEps (N, T) = A^T c1^T + B^T c2^T
+    ref = (np.asarray(A).T @ np.asarray(c1).T
+           + np.asarray(B).T @ np.asarray(c2).T)
+    out = interleave_mt(window_axpy_mt(packed, c1, c2, interpret=True), T)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-5)
+
+
+def test_window_stats_mt_multi_tile():
+    from hydra_tpu.ops.window_kernels import deinterleave_mt, window_stats_mt
+
+    T = 2
+    packed, _, _, _ = _inputs(w=8, n=4096, seed=41)
+    rs = np.random.RandomState(42)
+    eps = jnp.asarray(rs.randn(4096, T).astype(np.float32))
+    A, B = decode_planes(packed, jnp.float32)
+    s1, s2 = window_stats_mt(packed, deinterleave_mt(eps), T,
+                             tile_bytes=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(A) @ np.asarray(eps),
+                               rtol=2e-4, atol=1e-4)
