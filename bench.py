@@ -180,6 +180,55 @@ def run_bayesw_bench(ds, args):
     }))
 
 
+def run_mt_bench(ds, args, n_traits=4):
+    """Multi-trait sampler throughput (T traits share one decode pass via
+    the fused mt kernels). Baseline = same sampler on the host CPU backend."""
+    import jax
+    import jax.numpy as jnp
+    from hydra_tpu.parallel.mesh import make_mesh
+    from hydra_tpu.samplers.bayesrrm_mt import BayesRRmMT
+
+    rs = np.random.RandomState(7)
+    ph = np.tile(ds.y, (n_traits, 1)) + rs.randn(n_traits, ds.n) * 0.3
+    sampler = BayesRRmMT(ds, ph, window=args.window, seed=17,
+                         mesh=make_mesh(1))
+    state = sampler.init_state()
+    k = max(1, min(args.iters, 10))
+    state, _ = sampler.run_steps(state, 0, k)
+    float(jnp.sum(state.eps))
+    it, times = k, []
+    for _ in range(3):
+        t0 = time.time()
+        state, _ = sampler.run_steps(state, it, k)
+        float(jnp.sum(state.eps))
+        times.append((time.time() - t0) / k)
+        it += k
+    per_sweep = float(np.median(times))
+    sg = np.asarray(state.sigma_g).sum(axis=1)
+    se = np.asarray(state.sigma_e)
+    print(f"# per-sweep: {per_sweep * 1e3:.2f} ms (T={n_traits})  |  "
+          f"h2/trait = {np.round(sg / (sg + se), 3)}", file=sys.stderr)
+    if args.device == "cpu":
+        print(json.dumps({"per_sweep_s": per_sweep}))
+        return
+    vs = 1.0
+    if not args.skip_baseline:
+        base = _cpu_subprocess_baseline(
+            ["--model", "mt", "--m", str(args.m), "--n", str(args.n),
+             "--window", str(args.window), "--iters", "3"],
+            key=f"mt_cpu_m{args.m}_n{args.n}_w{args.window}")
+        if base:
+            vs = base / per_sweep
+            print(f"# cpu-backend baseline: {base:.3f} s/sweep", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"BayesRRm-mt marker-trait updates/s/chip (M={args.m}, "
+                  f"N={args.n}, T={n_traits}, window={args.window})",
+        "value": round(args.m * n_traits / per_sweep, 1),
+        "unit": "marker-traits/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
 def _cpu_subprocess_baseline(extra_args, key):
     """Measure the same bench on the host CPU backend (cached)."""
     import subprocess
@@ -219,7 +268,7 @@ def main():
     # Gram-corrected sequential Gibbs (sync-rate=1 semantics).
     ap.add_argument("--exact", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
-    ap.add_argument("--model", choices=["bayesrrm", "bayesw"],
+    ap.add_argument("--model", choices=["bayesrrm", "bayesw", "mt"],
                     default="bayesrrm")
     ap.add_argument("--device", default="",
                     help="override JAX platform (cpu for baseline subprocess)")
@@ -236,6 +285,9 @@ def main():
 
     if args.model == "bayesw":
         run_bayesw_bench(ds, args)
+        return
+    if args.model == "mt":
+        run_mt_bench(ds, args)
         return
 
     baseline_s = None
