@@ -260,7 +260,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=M_DEFAULT)
     ap.add_argument("--n", type=int, default=N_DEFAULT)
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--window", type=int, default=64)
     # Default = stale-window relaxation (the reference's production
     # configuration: CSCS strong-scaling runs use --sync-rate 5 across
@@ -315,7 +315,10 @@ def main():
     # measures the tunnel, not the chip. Fusing amortizes the overhead and
     # a host fetch of a scalar bounds each block honestly; the median block
     # rejects tunnel stalls (CLAUDE.md: never trust a single timing).
-    k = max(1, min(args.iters, 10))
+    # k sweeps per dispatch: the tunnel costs ~25 ms per dispatch+fetch, so
+    # small k inflates per-sweep time (k=10 measured +2.5 ms/sweep at
+    # M=10K x N=5K). Cap at 50 so --iters <= 50 still means one block.
+    k = max(1, min(args.iters, 50))
     n_blocks = max(3, args.iters // k)
     state, _ = sampler.run_steps(state, 1, k)     # compile the fused loop
     float(jnp.sum(state.eps))

@@ -1,0 +1,249 @@
+"""Whole-sweep mega-kernel: every stale window fused into ONE pallas_call.
+
+The per-window path (ops/window_kernels.py) launches two kernels per window
+with W-sized XLA sampling math, an HBM row-gather, and an eps round-trip in
+between — at small N the sweep is glue-bound (measured: M=10K x N=5K spends
+>70% of its 5.4 ms outside the kernels). This kernel runs the ENTIRE sweep
+in one launch:
+
+  grid = (n_windows, 2 phases, n_tiles)
+    phase 0 (stats): accumulate s1/s2 over byte tiles; at the last tile run
+      the full component/beta draw for the window (the vectorized stale-mode
+      sampler of BayesRRm.cpp:2044-2488 — same math as
+      samplers/bayesrrm.py::draw_rows) entirely in VMEM;
+    phase 1 (axpy): decode again and apply the residual update tile by tile.
+
+  The plane-major residual (4, NB) lives in the OUTPUT VMEM buffer for the
+  whole sweep (constant block index -> single resident buffer, one HBM
+  write-back at the end). Tiles are addressed through the untiled leading
+  dimension of a (n_tiles, 4, tb) layout — Mosaic forbids dynamic lane
+  indexing, not dynamic leading-dim indexing.
+
+Everything per-marker (mixture rows, RNG draws, stats) is precomputed by the
+sampler into a (m_loc, 6+3K-2) row array gathered in shuffled order, so the
+kernel consumes rows [w*W, (w+1)*W) contiguously and XLA does ONE gather per
+sweep instead of one per window.
+
+Scope: stale windows on a single marker shard (n_dev == n_ind == n_dcn == 1)
+— the multi-shard paths need per-window psums, which a kernel cannot issue.
+Exact mode keeps its Gram kernels. Semantics are identical to the
+per-window path (tests/test_sweep_kernel.py asserts chain equality).
+
+Reference behavior: BayesRRm.cpp:1691-1956 (marker loop), 2044-2488
+(sync-rate window), vectorized as in samplers/bayesrrm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hydra_tpu.ops.window_kernels import _auto_tile, _decode_g, _decode_k
+
+f32 = jnp.float32
+
+# mrow column layout (K = mixture components incl. zero):
+#   0 mave, 1 mstd, 2 beta_old, 3 u, 4 nrm, 5 act,
+#   6..6+K-1        logl_static (log pi, first col unshifted)
+#   6+K..6+2K-2     inv_denomk  (K-1 cols)
+#   6+2K-1..6+3K-3  sd_k        (K-1 cols)
+N_FIXED = 6
+
+
+def mrow_width(k: int) -> int:
+    return N_FIXED + 3 * k - 2
+
+
+def _sweep_kernel(K: int, n_tiles: int, complete: bool,
+                  pk_ref, mrow_ref, eps_in_ref, mask_ref, sc_ref,
+                  out_ref, eps_ref, s1_s, s2_s, c1_s, c2_s):
+    w = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    km1 = K - 1
+
+    # first visit of each tile: residual into the resident output buffer
+    # (phase 0 of window 0 walks every tile before anything reads it)
+    @pl.when((w == 0) & (ph == 0))
+    def _():
+        eps_ref[t] = eps_in_ref[t]
+
+    pk32 = pk_ref[:, :].astype(jnp.int32)      # (W, tb)
+
+    @pl.when(ph == 0)
+    def _stats():
+        @pl.when(t == 0)
+        def _():
+            s1_s[:, :] = jnp.zeros_like(s1_s)
+            s2_s[:, :] = jnp.zeros_like(s2_s)
+
+        et = eps_ref[t]                        # (4, tb)
+        s1 = None
+        s2 = None
+        for k in range(4):
+            e = et[k:k + 1, :]                 # (1, tb)
+            if complete:
+                g = _decode_g(pk32, k)
+                a = jnp.sum(g * e, axis=1, keepdims=True)      # (W, 1)
+                b = jnp.sum(e).reshape(1, 1)   # mask dot == sum(eps)
+            else:
+                g, m = _decode_k(pk32, k)
+                a = jnp.sum(g * e, axis=1, keepdims=True)
+                b = jnp.sum(m * e, axis=1, keepdims=True)
+            s1 = a if s1 is None else s1 + a
+            s2 = b if s2 is None else s2 + b
+        s1_s[:, :] += s1
+        if complete:
+            s2_s[0:1, 0:1] += s2
+        else:
+            s2_s[:, :] += s2
+
+        # ---- component + beta draw for the whole window (last tile) ----
+        @pl.when(t == n_tiles - 1)
+        def _sample():
+            i2se = sc_ref[0, 0]
+            dNm1 = sc_ref[0, 1]
+            mave = mrow_ref[:, 0:1]
+            mstd = mrow_ref[:, 1:2]
+            bold = mrow_ref[:, 2:3]
+            u = mrow_ref[:, 3:4]
+            nrm = mrow_ref[:, 4:5]
+            act = mrow_ref[:, 5:6]
+            s2v = s2_s[0:1, 0:1] if complete else s2_s[:, :]
+            num0 = mstd * (s1_s[:, :] - mave * s2v) + bold * dNm1  # (W,1)
+
+            bl, bi, bs = N_FIXED, N_FIXED + K, N_FIXED + 2 * K - 1
+            logls = [mrow_ref[:, bl:bl + 1]]
+            muks = []
+            for j in range(km1):
+                muk = num0 * mrow_ref[:, bi + j:bi + j + 1]
+                muks.append(muk)
+                logls.append(mrow_ref[:, bl + 1 + j:bl + 2 + j]
+                             + muk * num0 * i2se)
+            mx = logls[0]
+            for l in logls[1:]:
+                mx = jnp.maximum(mx, l)
+            prs = [jnp.exp(l - mx) for l in logls]
+            sm = prs[0]
+            for p in prs[1:]:
+                sm = sm + p
+            probs = [p / sm for p in prs]
+            # comp = #{cumulative probs exceeded by u}, capped at K-1
+            cum = probs[0]
+            compf = jnp.where(u > cum, 1.0, 0.0)
+            for j in range(1, km1):
+                cum = cum + probs[j]
+                compf = compf + jnp.where(u > cum, 1.0, 0.0)
+            bnz = jnp.zeros_like(num0)
+            for j in range(km1):
+                sel = jnp.where(compf == float(j + 1), 1.0, 0.0)
+                bnz = bnz + sel * (muks[j]
+                                   + nrm * mrow_ref[:, bs + j:bs + j + 1])
+            pos = jnp.where(compf > 0.0, 1.0, 0.0)
+            bnew = bnz * pos * act
+            compf = compf * act
+            acum = probs[0] * act + (1.0 - act)
+            dbeta = bold - bnew
+            c1 = dbeta * mstd
+            c1_s[:, :] = c1
+            c2_s[:, :] = -c1 * mave
+            out_ref[:, 0:1] = bnew
+            out_ref[:, 1:2] = compf
+            out_ref[:, 2:3] = acum
+            out_ref[:, 3:4] = dbeta
+
+    @pl.when(ph == 1)
+    def _axpy():
+        c1 = c1_s[:, :]                        # (W, 1)
+        c2 = c2_s[:, :]
+        for k in range(4):
+            if complete:
+                g = _decode_g(pk32, k)
+                # VPU sublane reduction over the W markers
+                d = jnp.sum(g * c1, axis=0, keepdims=True)     # (1, tb)
+                d = (d + jnp.sum(c2)) * mask_ref[t, k:k + 1, :]
+            else:
+                g, m = _decode_k(pk32, k)
+                d = jnp.sum(g * c1 + m * c2, axis=0, keepdims=True)
+            eps_ref[t, k:k + 1, :] += d
+
+
+def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
+                i_2se, dNm1, *, window: int, n_mix: int, complete: bool,
+                ind_mask4: Optional[jax.Array] = None, tile_bytes: int = 0,
+                vma=None, interpret: bool = False
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Run a full stale-window Gibbs sweep in one kernel launch.
+
+    pk_shuf: (m_loc, NB) uint8 packed genotypes in SHUFFLED marker order;
+    eps_d: (4, NB) plane-major residual; mrow: (m_loc, mrow_width(K))
+    per-marker rows (same order as pk_shuf); ind_mask4: (4, NB) plane-major
+    individual mask (required iff complete=True).
+
+    Returns (eps_d', out) with out columns [beta_new, comp, acum0, dbeta]
+    per shuffled marker.
+    """
+    m_loc, NB = pk_shuf.shape
+    assert mrow.shape[1] == mrow_width(n_mix), (mrow.shape, n_mix)
+    assert m_loc % window == 0, (m_loc, window)
+    if complete and ind_mask4 is None:
+        raise ValueError("complete sweep needs ind_mask4")
+    W = window
+    n_windows = m_loc // W
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
+    n_tiles = NB // tb
+    C = mrow.shape[1]
+
+    eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
+    if complete:
+        mask_t = ind_mask4.reshape(4, n_tiles, tb).transpose(1, 0, 2)
+    else:
+        mask_t = jnp.zeros((1, 4, tb), f32)   # unused placeholder
+    sc = jnp.stack([jnp.asarray(i_2se, f32),
+                    jnp.asarray(dNm1, f32)]).reshape(1, 2)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    nmt = mask_t.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_windows, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, C), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nmt, 4, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, 4), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, 1), f32),    # s1
+            pltpu.VMEM((W, 1), f32),    # s2 / eps-sum
+            pltpu.VMEM((W, 1), f32),    # c1 = dbeta * mstd
+            pltpu.VMEM((W, 1), f32),    # c2 = -c1 * mave
+        ],
+    )
+    out, eps_out = pl.pallas_call(
+        functools.partial(_sweep_kernel, n_mix, n_tiles, complete),
+        grid_spec=grid_spec,
+        out_shape=[sds((m_loc, 4)), sds((n_tiles, 4, tb))],
+        interpret=interpret,
+    )(pk_shuf, mrow, eps_t, mask_t, sc)
+    eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
+    return eps_new, out

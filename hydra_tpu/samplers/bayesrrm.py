@@ -92,6 +92,8 @@ class BayesRRmConfig:
     fh: bool = False
     shuffle: bool = True
     use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
+    use_mega: bool = False     # whole-sweep mega-kernel (single-shard stale)
+    interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes anywhere (fast kernels)
     dtype: str = "float32"     # accumulation dtype (--dtype; reference is f64)
     # FH hyper-priors (options.hpp:89-96)
@@ -439,16 +441,86 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
-    if cfg.use_pallas:
+    if cfg.use_mega:
+        # ---- whole-sweep mega-kernel (ops/sweep_kernel.py) ----
+        # All per-marker quantities are precomputed vectorized in shuffled
+        # order; the kernel runs every window's stats -> draw -> residual
+        # update in ONE launch with eps resident in VMEM. Same math as
+        # window_body's stale branch (draw_rows), one XLA gather/scatter
+        # per sweep instead of per window.
+        from hydra_tpu.ops.sweep_kernel import mrow_width, sweep_stale
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
-        eps = deinterleave(eps)     # (4, NB) plane-major across the sweep
-        ind_mask4 = deinterleave(ind_mask)
-    eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
-        0, cfg.n_windows, window_body,
-        (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
-    if cfg.use_pallas:
-        eps = interleave(eps)
+        km1 = cfg.k - 1
+        pk_shuf = jnp.take(packed, perm, axis=0)
+        mave_s = jnp.take(mave, perm)
+        mstd_s = jnp.take(mstd, perm)
+        grp_s = jnp.take(groups, perm)
+        act_s = jnp.take(active_all, perm).astype(f32)
+        bold_s = jnp.take(beta, perm)
+        u_s = jnp.take(u_loc, perm)
+        n_s = jnp.take(n_loc, perm)
+        log_pi_s = jnp.log(jnp.maximum(est_pi[grp_s], tiny))     # (m, K)
+        if cfg.fh:
+            lam_s = jnp.take(lam, perm)
+            nu_w_s = (cfg.v0L / lam_s + 1.0) / jnp.take(g_nu, perm)
+            csl_s = state.c_slab[grp_s]
+            lamt_s = state.tau * csl_s / (state.tau + csl_s * lam_s)
+            lamt_s = jnp.maximum(lamt_s, tiny)
+            denomk = dNm1 + (sigma_e / lamt_s)[:, None] * jnp.ones((1, km1), f32)
+            log_detk = jnp.log((lamt_s / sigma_e) * dNm1 + 1.0)[:, None] \
+                * jnp.ones((1, km1), f32)
+        else:
+            safe_g = jnp.maximum(sigma_g[grp_s], tiny)
+            denomk = dNm1 + (sigma_e / safe_g)[:, None] * cvai[grp_s][:, 1:]
+            log_detk = jnp.log(
+                (sigma_g[grp_s] / sigma_e)[:, None] * dNm1 * cva[grp_s][:, 1:] + 1.0)
+        inv_denomk = 1.0 / denomk
+        sd_k = jnp.sqrt(sigma_e * inv_denomk)
+        logl_static = jnp.concatenate(
+            [log_pi_s[:, :1], log_pi_s[:, 1:] - 0.5 * log_detk], axis=1)
+        mrow = jnp.concatenate(
+            [mave_s[:, None], mstd_s[:, None], bold_s[:, None],
+             u_s[:, None], n_s[:, None], act_s[:, None],
+             logl_static, inv_denomk, sd_k], axis=1)
+        assert mrow.shape[1] == mrow_width(cfg.k)
+
+        eps_new_d, out_m = sweep_stale(
+            pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
+            window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+            ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
+            vma=vma_axes, interpret=cfg.interpret)
+        # numerically the identity (mega is gated to n_dev == 1) but marks
+        # the residual replicated again for shard_map's vma checker — the
+        # mega path's analogue of window_body's per-window hier_psum
+        eps = jax.lax.psum(interleave(eps_new_d), ma)
+        bnew_s = out_m[:, 0]
+        comp_s = out_m[:, 1].astype(jnp.int32)
+        acum_s = out_m[:, 2]
+        dbeta_s = out_m[:, 3]
+        beta = beta.at[perm].set(bnew_s)
+        comps = comps.at[perm].set(comp_s)
+        acum = acum.at[perm].set(acum_s)
+        cass = cass0 + jax.ops.segment_sum(
+            act_s, grp_s * cfg.k + comp_s,
+            num_segments=cfg.num_groups * cfg.k
+        ).reshape(cfg.num_groups, cfg.k)
+        sum_abs_db = jax.lax.psum(jnp.sum(jnp.abs(dbeta_s)), ma)
+        if cfg.fh:
+            rate = 0.5 * bnew_s * bnew_s / state.tau + cfg.v0L / nu_w_s
+            lam = lam.at[perm].set(rate / jnp.take(g_lam, perm))
+            nu = nu.at[perm].set(nu_w_s)
+    else:
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import deinterleave, interleave
+
+            eps = deinterleave(eps)  # (4, NB) plane-major across the sweep
+            ind_mask4 = deinterleave(ind_mask)
+        eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
+            0, cfg.n_windows, window_body,
+            (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
+        if cfg.use_pallas:
+            eps = interleave(eps)
 
     # ---- cross-shard reductions (BayesRRm.cpp:2515-2521) ----
     cass = jax.lax.psum(cass, ma)
@@ -583,6 +655,12 @@ class BayesRRm:
             # supported"), and sub-8 windows are latency-bound anyway.
             use_pallas=(jax.default_backend() == "tpu" and dtype == "float32"
                         and window >= 8),
+            # whole-sweep fusion (ops/sweep_kernel.py): stale windows on a
+            # single marker shard — multi-shard/ind-sharded runs need
+            # per-window collectives a kernel cannot issue
+            use_mega=(jax.default_backend() == "tpu" and dtype == "float32"
+                      and window >= 8 and not exact
+                      and n_dev == 1 and n_ind == 1 and n_dcn == 1),
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),
             tau0=fhp.get("tau0", 1.0),

@@ -172,6 +172,71 @@ def main():
           jnp.matmul(G.T, c1m.T, precision=hi)
           + jnp.matmul(Mk.T, c2m.T, precision=hi))
 
+    # whole-sweep mega-kernel vs a NumPy window-by-window emulation
+    from hydra_tpu.io.plink import decode_bed_numpy
+    from hydra_tpu.ops.sweep_kernel import mrow_width, sweep_stale
+    from hydra_tpu.ops.window_kernels import deinterleave, interleave
+
+    Kmix = 4
+    n_win = 4
+    m_loc = n_win * W
+    pk_np = rs.randint(0, 256, (m_loc, NB), dtype=np.uint8)
+    eps0 = rs.randn(N).astype(np.float32)
+    cols = {
+        "mave": rs.uniform(0.2, 1.8, m_loc), "mstd": rs.uniform(0.5, 2.0, m_loc),
+        "bold": rs.randn(m_loc) * 0.01, "u": rs.uniform(0, 1, m_loc),
+        "nrm": rs.randn(m_loc), "act": (rs.uniform(0, 1, m_loc) > 0.1),
+    }
+    logl = np.column_stack([np.full(m_loc, -0.7)]
+                           + [rs.uniform(-3, -1, m_loc) for _ in range(Kmix - 1)])
+    invd = rs.uniform(1e-4, 3e-4, (m_loc, Kmix - 1))
+    sdk = rs.uniform(0.01, 0.05, (m_loc, Kmix - 1))
+    mrow_np = np.column_stack(
+        [cols["mave"], cols["mstd"], cols["bold"], cols["u"], cols["nrm"],
+         cols["act"].astype(np.float64), logl, invd, sdk]).astype(np.float32)
+    assert mrow_np.shape[1] == mrow_width(Kmix)
+    i2se_v, dNm1_v = 0.7, float(N - 1)
+
+    eps_m, out_m = jax.jit(lambda p, e, r: sweep_stale(
+        p, deinterleave(e), r, i2se_v, dNm1_v, window=W, n_mix=Kmix,
+        complete=False))(jnp.asarray(pk_np), jnp.asarray(eps0),
+                         jnp.asarray(mrow_np))
+    eps_m = np.asarray(interleave(eps_m))
+    out_m = np.asarray(out_m)
+
+    # NumPy reference: same stale-window math (draw_rows, bayesrrm.py)
+    g_np, mk_np = decode_bed_numpy(pk_np, N)
+    eps_r = eps0.astype(np.float64).copy()
+    out_r = np.zeros((m_loc, 4))
+    for w in range(n_win):
+        sl = slice(w * W, (w + 1) * W)
+        g, mk = g_np[sl], mk_np[sl]
+        s1 = g @ eps_r
+        s2 = mk @ eps_r
+        mavew, mstdw = cols["mave"][sl], cols["mstd"][sl]
+        boldw, uw = cols["bold"][sl], cols["u"][sl]
+        nrmw, actw = cols["nrm"][sl], cols["act"][sl]
+        num0 = mstdw * (s1 - mavew * s2) + boldw * dNm1_v
+        muk = num0[:, None] * invd[sl]
+        logL = np.column_stack(
+            [logl[sl, 0], logl[sl, 1:] + muk * num0[:, None] * i2se_v])
+        pr = np.exp(logL - logL.max(axis=1, keepdims=True))
+        probs = pr / pr.sum(axis=1, keepdims=True)
+        cum = np.cumsum(probs, axis=1)
+        comp = np.minimum((uw[:, None] > cum).sum(axis=1), Kmix - 1)
+        ksel = np.maximum(comp - 1, 0)
+        bnz = muk[np.arange(W), ksel] + nrmw * sdk[sl][np.arange(W), ksel]
+        bnew = np.where((comp > 0) & actw, bnz, 0.0)
+        compv = np.where(actw, comp, 0)
+        acumv = np.where(actw, probs[:, 0], 1.0)
+        db = boldw - bnew
+        eps_r += (db * mstdw) @ g - (db * mstdw * mavew) @ mk
+        out_r[sl] = np.column_stack([bnew, compv, acumv, db])
+    check("sweep_mega.eps", eps_m, eps_r, tol=5e-4)
+    check("sweep_mega.beta", out_m[:, 0], out_r[:, 0], tol=5e-4)
+    check("sweep_mega.comp", out_m[:, 1], out_r[:, 1], tol=0)
+    check("sweep_mega.acum", out_m[:, 2], out_r[:, 2], tol=1e-4)
+
     if fails:
         print(f"FATAL  : {fails} kernel check(s) failed", flush=True)
         return 1
