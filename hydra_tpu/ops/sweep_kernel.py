@@ -61,7 +61,7 @@ def mrow_width(k: int) -> int:
 
 def _sweep_kernel(K: int, n_tiles: int, complete: bool,
                   pk_ref, mrow_ref, eps_in_ref, mask_ref, sc_ref,
-                  out_ref, eps_ref, s1_s, s2_s, c1_s, c2_s):
+                  out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):
     w = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
@@ -150,8 +150,20 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
             acum = probs[0] * act + (1.0 - act)
             dbeta = bold - bnew
             c1 = dbeta * mstd
-            c1_s[:, :] = c1
-            c2_s[:, :] = -c1 * mave
+            c2 = -c1 * mave
+            # store the axpy coefficients as bf16 hi/lo ROWS (one sublane->
+            # lane transpose per window) so phase 1 can run the exact-f32
+            # MXU vecmat of window_kernels._axpy_kernel — the VPU sublane
+            # reduction measured ~20% slower per window at NB=12544
+            c1r = jnp.transpose(c1)                   # (1, W)
+            c2r = jnp.transpose(c2)
+            c1h = c1r.astype(jnp.bfloat16).astype(f32)
+            c2h = c2r.astype(jnp.bfloat16).astype(f32)
+            c_s[0:1, :] = c1h
+            c_s[1:2, :] = c1r - c1h
+            c_s[2:3, :] = c2h
+            c_s[3:4, :] = c2r - c2h
+            csum_s[0:1, 0:1] = jnp.sum(c2).reshape(1, 1)
             out_ref[:, 0:1] = bnew
             out_ref[:, 1:2] = compf
             out_ref[:, 2:3] = acum
@@ -159,17 +171,22 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
 
     @pl.when(ph == 1)
     def _axpy():
-        c1 = c1_s[:, :]                        # (W, 1)
-        c2 = c2_s[:, :]
+        c1h = c_s[0:1, :]                      # (1, W) bf16-exact rows
+        c1l = c_s[1:2, :]
+        c2h = c_s[2:3, :]
+        c2l = c_s[3:4, :]
         for k in range(4):
             if complete:
                 g = _decode_g(pk32, k)
-                # VPU sublane reduction over the W markers
-                d = jnp.sum(g * c1, axis=0, keepdims=True)     # (1, tb)
-                d = (d + jnp.sum(c2)) * mask_ref[t, k:k + 1, :]
+                d = (jnp.dot(c1h, g, preferred_element_type=f32)
+                     + jnp.dot(c1l, g, preferred_element_type=f32))
+                d = (d + csum_s[0:1, 0:1]) * mask_ref[t, k:k + 1, :]
             else:
                 g, m = _decode_k(pk32, k)
-                d = jnp.sum(g * c1 + m * c2, axis=0, keepdims=True)
+                d = (jnp.dot(c1h, g, preferred_element_type=f32)
+                     + jnp.dot(c1l, g, preferred_element_type=f32)
+                     + jnp.dot(c2h, m, preferred_element_type=f32)
+                     + jnp.dot(c2l, m, preferred_element_type=f32))
             eps_ref[t, k:k + 1, :] += d
 
 
@@ -235,8 +252,8 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((W, 1), f32),    # s1
             pltpu.VMEM((W, 1), f32),    # s2 / eps-sum
-            pltpu.VMEM((W, 1), f32),    # c1 = dbeta * mstd
-            pltpu.VMEM((W, 1), f32),    # c2 = -c1 * mave
+            pltpu.VMEM((4, W), f32),    # axpy coeff rows [c1h, c1l, c2h, c2l]
+            pltpu.VMEM((1, 1), f32),    # sum(c2) (complete mode)
         ],
     )
     out, eps_out = pl.pallas_call(

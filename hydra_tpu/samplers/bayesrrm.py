@@ -657,9 +657,13 @@ class BayesRRm:
                         and window >= 8),
             # whole-sweep fusion (ops/sweep_kernel.py): stale windows on a
             # single marker shard — multi-shard/ind-sharded runs need
-            # per-window collectives a kernel cannot issue
+            # per-window collectives a kernel cannot issue. Gated to narrow
+            # problems (N <= 16K): the fixed per-window glue it removes
+            # dominates there (5.8 -> 1.9 ms at M=10K x N=5K); at N=50K
+            # the per-sweep shuffle gather outweighs it (crossover measured
+            # at N ~ 20K, see STATUS.md).
             use_mega=(jax.default_backend() == "tpu" and dtype == "float32"
-                      and window >= 8 and not exact
+                      and window >= 8 and not exact and geno.n_pad <= 16384
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1),
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),
