@@ -137,16 +137,24 @@ def _time_bayesw(ds, args):
     ds.y = 4.0 + 0.02 * ds.y + w / alpha_true
     ds.fail = (rs.random(ds.n) > 0.2).astype(np.float64)
 
+    import jax.numpy as jnp
+
     sampler = BayesW(ds, window=args.window, seed=13, mesh=make_mesh(1),
                      quad_points=25)
     state = sampler.init_state()
-    state, _ = sampler.step(state, 0)
-    jax.block_until_ready(state.eps)
-    t0 = time.time()
-    for it in range(1, args.iters + 1):
-        state, _ = sampler.step(state, it)
-    jax.block_until_ready(state.eps)
-    return (time.time() - t0) / args.iters, state
+    # fused k-sweep dispatches (see the BayesRRm timing comment: the tunnel
+    # costs ~25 ms per dispatch, so per-step timing measures the tunnel)
+    k = max(1, min(args.iters, 50))
+    state, _ = sampler.run_steps(state, 0, k)
+    float(jnp.sum(state.eps))
+    it, times = k, []
+    for _ in range(3):
+        t0 = time.time()
+        state, _ = sampler.run_steps(state, it, k)
+        float(jnp.sum(state.eps))
+        times.append((time.time() - t0) / k)
+        it += k
+    return float(np.median(times)), state
 
 
 def run_bayesw_bench(ds, args):
