@@ -171,14 +171,14 @@ def run_bayesw_bench(ds, args):
         print(json.dumps({"per_sweep_s": per_sweep}))
         return
     vs = 1.0
-    if not args.skip_baseline:
-        base = _cpu_subprocess_baseline(
-            ["--model", "bayesw", "--m", str(args.m), "--n", str(args.n),
-             "--window", str(args.window), "--iters", "3"],
-            key=f"bayesw_cpu_m{args.m}_n{args.n}_w{args.window}")
-        if base:
-            vs = base / per_sweep
-            print(f"# cpu-backend baseline: {base:.3f} s/sweep", file=sys.stderr)
+    base = _cpu_subprocess_baseline(
+        ["--model", "bayesw", "--m", str(args.m), "--n", str(args.n),
+         "--window", str(args.window), "--iters", "3"],
+        key=f"bayesw_cpu_m{args.m}_n{args.n}_w{args.window}",
+        cached_only=args.skip_baseline)
+    if base:
+        vs = base / per_sweep
+        print(f"# cpu-backend baseline: {base:.3f} s/sweep", file=sys.stderr)
     print(json.dumps({
         "metric": f"BayesW marker updates/s/chip (M={args.m}, N={args.n}, "
                   f"window={args.window})",
@@ -220,14 +220,14 @@ def run_mt_bench(ds, args, n_traits=4):
         print(json.dumps({"per_sweep_s": per_sweep}))
         return
     vs = 1.0
-    if not args.skip_baseline:
-        base = _cpu_subprocess_baseline(
-            ["--model", "mt", "--m", str(args.m), "--n", str(args.n),
-             "--window", str(args.window), "--iters", "3"],
-            key=f"mt_cpu_m{args.m}_n{args.n}_w{args.window}")
-        if base:
-            vs = base / per_sweep
-            print(f"# cpu-backend baseline: {base:.3f} s/sweep", file=sys.stderr)
+    base = _cpu_subprocess_baseline(
+        ["--model", "mt", "--m", str(args.m), "--n", str(args.n),
+         "--window", str(args.window), "--iters", "3"],
+        key=f"mt_cpu_m{args.m}_n{args.n}_w{args.window}",
+        cached_only=args.skip_baseline)
+    if base:
+        vs = base / per_sweep
+        print(f"# cpu-backend baseline: {base:.3f} s/sweep", file=sys.stderr)
     print(json.dumps({
         "metric": f"BayesRRm-mt marker-trait updates/s/chip (M={args.m}, "
                   f"N={args.n}, T={n_traits}, window={args.window})",
@@ -237,8 +237,11 @@ def run_mt_bench(ds, args, n_traits=4):
     }))
 
 
-def _cpu_subprocess_baseline(extra_args, key):
-    """Measure the same bench on the host CPU backend (cached)."""
+def _cpu_subprocess_baseline(extra_args, key, cached_only=False):
+    """Measure the same bench on the host CPU backend (cached).
+
+    cached_only: return the cached value or None — never measure (used by
+    --skip-baseline so an existing baseline still yields a real ratio)."""
     import subprocess
     cache = {}
     if os.path.exists(CACHE):
@@ -246,6 +249,8 @@ def _cpu_subprocess_baseline(extra_args, key):
             cache = json.load(fh)
         if key in cache:
             return cache[key]
+    if cached_only:
+        return None
     env = dict(os.environ)
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--device", "cpu",

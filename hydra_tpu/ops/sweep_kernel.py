@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hydra_tpu.ops.window_kernels import _auto_tile, _decode_g, _decode_k
+from hydra_tpu.ops.window_kernels import (_auto_tile, _decode_g_int,
+                                           _decode_k)
 
 f32 = jnp.float32
 
@@ -88,7 +89,7 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
         for k in range(4):
             e = et[k:k + 1, :]                 # (1, tb)
             if complete:
-                g = _decode_g(pk32, k)
+                g = _decode_g_int(pk32, k)
                 a = jnp.sum(g * e, axis=1, keepdims=True)      # (W, 1)
                 b = jnp.sum(e).reshape(1, 1)   # mask dot == sum(eps)
             else:
@@ -177,7 +178,7 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
         c2l = c_s[3:4, :]
         for k in range(4):
             if complete:
-                g = _decode_g(pk32, k)
+                g = _decode_g_int(pk32, k)
                 d = (jnp.dot(c1h, g, preferred_element_type=f32)
                      + jnp.dot(c1l, g, preferred_element_type=f32))
                 d = (d + csum_s[0:1, 0:1]) * mask_ref[t, k:k + 1, :]

@@ -97,6 +97,21 @@ def _decode_g(pk32, k):
     return (1.0 - bit0) * (2.0 - bit1)
 
 
+def _decode_g_int(pk32, k):
+    """Integer-only genotype decode for COMPLETE data: 5 int ops + 1 cast
+    (vs _decode_g's 4 int ops + 2 casts + 3 float ops).
+
+    g = ((c ^ 3) + 1) >> 1 maps code 00->2, 10->1, 11->0. The missing code
+    01 decodes to 1 instead of 0 — in complete mode it occurs only on PAD
+    individuals (padding bytes are 0b01010101), and every complete-mode
+    consumer already nullifies pad lanes: stats/level sums multiply by a
+    residual/vi vector that is zero on pads, and the axpy output is
+    multiplied by the individual mask (window_axpy docstring contract;
+    in-kernel mask_ref in the sweep kernel)."""
+    c = (pk32 >> (2 * k)) & 3
+    return (((c ^ 3) + 1) >> 1).astype(f32)
+
+
 def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
                   mstd_ref, s1_ref, s2_ref, gram_ref):
     @pl.when(pl.program_id(0) == 0)
@@ -113,7 +128,7 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
     s1 = s2 = None
     for k in range(4):
         if complete:
-            g = _decode_g(pk32, k)
+            g = _decode_g_int(pk32, k)
             m = None
         else:
             g, m = _decode_k(pk32, k)
@@ -210,7 +225,7 @@ def _axpy_kernel(complete: bool, pk_ref, c1_ref, c2_ref, out_ref):
         if complete:
             # complete data: M_k == 1 on real individuals — the c2 term is
             # the scalar sum(c2), added (and pad-masked) by the caller
-            g = _decode_g(pk32, k)
+            g = _decode_g_int(pk32, k)
             contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
                        + jnp.dot(c1l, g, preferred_element_type=f32))
         else:
@@ -269,7 +284,8 @@ def _levels_kernel(complete: bool, pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
     s1 = s2 = sm = None
     for k in range(4):
         if complete:
-            g = _decode_g(pk32, k)
+            g = _decode_g_int(pk32, k)   # pad lanes decode to 1 -> i1 = 1,
+            # nullified by v == 0 on pads (see _decode_g_int)
         else:
             g, m = _decode_k(pk32, k)
         i1 = g * (2.0 - g)          # 1 where genotype == 1

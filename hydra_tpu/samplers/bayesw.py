@@ -91,6 +91,8 @@ class BayesWConfig:
     quad_n: int = 25
     shuffle: bool = True
     use_pallas: bool = False
+    use_mega: bool = False    # whole-sweep mega-kernel (single-shard stale)
+    interpret: bool = False   # pallas interpret mode (tests)
     complete: bool = False    # no missing genotypes (fast kernels)
 
     @property
@@ -377,18 +379,109 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
-    if cfg.use_pallas:
+    if cfg.use_mega:
+        # ---- whole-sweep mega-kernel (ops/sweep_kernel_bw.py) ----
+        # Everything per-marker — including all randomness, derived with
+        # the per-window path's exact key schedule — is precomputed in
+        # shuffled order; the kernel runs every window's level sums ->
+        # GH marginals -> component draw -> slice-sampled beta -> residual
+        # axpy + vi refresh in ONE launch (removes the ~90 us/window of
+        # launch + XLA glue measured on v5e).
+        from hydra_tpu.ops.sweep_kernel_bw import (bw_mrow_width,
+                                                   sweep_stale_bw)
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
-        # residual + vi ride the loop carry plane-major (4, NB): one
-        # transpose per sweep instead of one per window (see BayesRRm)
-        eps = deinterleave(eps)
-        vi = deinterleave(vi)
-        ind_mask4 = deinterleave(ind_mask)
-    eps, vi, beta, comps, cass = jax.lax.fori_loop(
-        0, cfg.n_windows, window_body, (eps, vi, beta, comps, cass0))
-    if cfg.use_pallas:
-        eps = interleave(eps)
+        n_shrink, n_expand = 24, 10
+        pk_shuf = jnp.take(packed, perm, axis=0)
+        mave_s = jnp.take(mave, perm)
+        sd_s = jnp.take(msd, perm)
+        act_s = (jnp.take(valid, perm) > 0) & (sd_s > 0)
+        inv_sd_s = jnp.where(act_s, 1.0 / jnp.maximum(sd_s, 1e-30), 0.0)
+        sf_s = jnp.take(sum_fail, perm)
+        grp_s = jnp.take(groups, perm)
+        bold_s = jnp.take(beta, perm)
+        keys_s = jax.vmap(
+            lambda i: jax.random.fold_in(marker_site, i))(off + perm)
+        u_s = jax.vmap(lambda k: jax.random.uniform(k, (), f32))(keys_s)
+
+        # slice RNG: one shared schedule per window, keyed by the window's
+        # FIRST marker (bkeys_w[0] in window_body) then split exactly as
+        # utils/slice_sampler.slice_sample does
+        wkeys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 1))(keys_s[::W])
+
+        def w_rng(bkey):
+            k_h, k_u, k_s = jax.random.split(bkey, 3)
+            le = jax.random.exponential(k_h, (W,))
+            ub = jax.random.uniform(k_u, (W,))
+            uu = jax.vmap(lambda i: jax.random.uniform(
+                jax.random.fold_in(k_s, i), (W,)))(jnp.arange(n_shrink))
+            return le, ub, uu
+        le_w, ub_w, uu_w = jax.vmap(w_rng)(wkeys)
+        le_s = le_w.reshape(-1)
+        ub_s = ub_w.reshape(-1)
+        uu_s = uu_w.transpose(0, 2, 1).reshape(cfg.m_loc, n_shrink)
+
+        ab_s = alpha * bold_s
+        e0_s = jnp.exp(ab_s * (0.0 - mave_s) * inv_sd_s)
+        e1_s = jnp.exp(ab_s * (1.0 - mave_s) * inv_sd_s)
+        e2_s = jnp.exp(ab_s * (2.0 - mave_s) * inv_sd_s)
+        th0_s = alpha * mave_s * inv_sd_s
+        th1_s = alpha * (mave_s - 1.0) * inv_sd_s
+        th2_s = alpha * (mave_s - 2.0) * inv_sd_s
+
+        cva_s = cva_nz[grp_s]                                  # (m, km1)
+        sig_s = sigma_g[grp_s]
+        pj_s = jnp.exp(log_pi[grp_s])                          # (m, K)
+        ml0_s = pj_s[:, 0] * SQRT_PI
+        sqrt2ck_s = jnp.sqrt(2.0 * cva_s * sig_s[:, None])
+        adc_s = alpha * alpha * sig_s[:, None] * cva_s
+        two_ck_sg_s = 2.0 * cva_s * jnp.maximum(sig_s, 1e-30)[:, None]
+        slim_s = 2.0 * jnp.sqrt(sum_sigma_g * cva_s)
+
+        mrow = jnp.concatenate(
+            [mave_s[:, None], inv_sd_s[:, None], bold_s[:, None],
+             u_s[:, None], act_s.astype(f32)[:, None], sf_s[:, None],
+             th0_s[:, None], th1_s[:, None], th2_s[:, None],
+             e0_s[:, None], e1_s[:, None], e2_s[:, None], ml0_s[:, None],
+             pj_s[:, 1:], sqrt2ck_s, adc_s, two_ck_sg_s, slim_s,
+             le_s[:, None], ub_s[:, None], uu_s], axis=1)
+        assert mrow.shape[1] == bw_mrow_width(cfg.k, n_shrink)
+
+        qp = 128
+        ghx_p = jnp.zeros((1, qp), f32).at[0, :Q].set(gh_x)
+        ghw_p = jnp.zeros((1, qp), f32).at[0, :Q].set(gh_w)
+
+        eps_new_d, out_m = sweep_stale_bw(
+            pk_shuf, deinterleave(eps), deinterleave(vi), mrow,
+            ghx_p, ghw_p, alpha, window=W, n_mix=cfg.k,
+            complete=cfg.complete, ind_mask4=deinterleave(ind_mask),
+            n_expand=n_expand, n_shrink=n_shrink,
+            vma=vma_axes, interpret=cfg.interpret)
+        # identity psum (mega is gated to one marker shard) marking the
+        # residual replicated again for shard_map's vma checker
+        eps = jax.lax.psum(interleave(eps_new_d), ma)
+        bnew_s = out_m[:, 0]
+        comp_s = out_m[:, 1].astype(jnp.int32)
+        beta = beta.at[perm].set(bnew_s)
+        comps = comps.at[perm].set(comp_s)
+        cass = cass0 + jax.ops.segment_sum(
+            act_s.astype(f32), grp_s * cfg.k + comp_s,
+            num_segments=cfg.num_groups * cfg.k
+        ).reshape(cfg.num_groups, cfg.k)
+    else:
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import deinterleave, interleave
+
+            # residual + vi ride the loop carry plane-major (4, NB): one
+            # transpose per sweep instead of one per window (see BayesRRm)
+            eps = deinterleave(eps)
+            vi = deinterleave(vi)
+            ind_mask4 = deinterleave(ind_mask)
+        eps, vi, beta, comps, cass = jax.lax.fori_loop(
+            0, cfg.n_windows, window_body, (eps, vi, beta, comps, cass0))
+        if cfg.use_pallas:
+            eps = interleave(eps)
 
     cass = jax.lax.psum(cass, ma)
     beta_sqn = jax.lax.psum(
@@ -444,7 +537,15 @@ class BayesW:
             quad_n=quad_points, shuffle=shuffle,
             complete=bool(np.asarray(geno.nm).sum() == 0),
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
-            use_pallas=(jax.default_backend() == "tpu" and window >= 8))
+            use_pallas=(jax.default_backend() == "tpu" and window >= 8),
+            # whole-sweep fusion (ops/sweep_kernel_bw.py): single marker
+            # shard, stale windows. Unlike BayesRRm (crossover at N~20K),
+            # the BayesW per-window glue is ~90 us/window — far above the
+            # per-sweep shuffle-gather cost — so the gate is VMEM-bound
+            # (3 resident (4, NB) f32 buffers), not crossover-bound.
+            use_mega=(jax.default_backend() == "tpu" and window >= 8
+                      and n_dev == 1 and n_ind == 1 and n_dcn == 1
+                      and geno.n_pad <= 65536))
         cfg = self.cfg
 
         gh_x, gh_w = gh_table(cfg.quad_n)

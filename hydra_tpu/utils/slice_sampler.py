@@ -36,6 +36,7 @@ def slice_sample(
     n_expand: int = 10,
     n_shrink: int = 24,
     mask=None,
+    unroll: bool = False,
 ) -> jax.Array:
     """One slice-sampling transition for a batch of independent targets.
 
@@ -45,6 +46,11 @@ def slice_sample(
     width: initial bracket width (scalar or (B,)).
     mask: optional (B,) bool; False lanes return x0 untouched (their logf
           values may be garbage — they never influence accepted lanes).
+    unroll: statically unroll the expand/shrink loops. Measured only ~7%
+          of the BayesW sweep on v5e (the loops are not the glue that
+          dominates small windows — see ops/sweep_kernel_bw.py), and the
+          different fusion boundaries break bitwise equality between
+          step() and run_steps() dispatches, so it is off by default.
     """
     shape = jnp.shape(x0)
     k_h, k_u, k_s = jax.random.split(key, 3)
@@ -64,7 +70,14 @@ def slice_sample(
                           right + width, right)
         return left, right
 
-    left, right = jax.lax.fori_loop(0, n_expand, expand_body, (left, right))
+    if unroll:
+        lr = (left, right)
+        for i in range(n_expand):
+            lr = expand_body(i, lr)
+        left, right = lr
+    else:
+        left, right = jax.lax.fori_loop(0, n_expand, expand_body,
+                                        (left, right))
     left = jnp.maximum(left, lower)
     right = jnp.minimum(right, upper)
 
@@ -83,8 +96,14 @@ def slice_sample(
 
     # (x0 != x0) is all-False with x0's varying-axes type — keeps the carry
     # consistent under shard_map's manual-axes checking.
-    _, _, x, accepted = jax.lax.fori_loop(
-        0, n_shrink, shrink_body, (left, right, x0, x0 != x0))
+    carry = (left, right, x0, x0 != x0)
+    if unroll:
+        for i in range(n_shrink):
+            carry = shrink_body(i, carry)
+        _, _, x, accepted = carry
+    else:
+        _, _, x, accepted = jax.lax.fori_loop(
+            0, n_shrink, shrink_body, carry)
     x = jnp.where(accepted, x, x0)
     if mask is not None:
         x = jnp.where(mask, x, x0)

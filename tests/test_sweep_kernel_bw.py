@@ -1,0 +1,67 @@
+"""BayesW whole-sweep mega-kernel equivalence (interpret mode on CPU).
+
+The mega path (ops/sweep_kernel_bw.py) must continue the same chain as the
+per-window XLA path: identical RNG sites (component uniform + the slice
+sampler's per-window exponential/bracket/shrink schedule), identical
+stale-window semantics, only f32 accumulation-order differences.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from hydra_tpu.parallel.mesh import make_mesh
+from hydra_tpu.samplers.bayesw import BayesW
+
+from tests.test_bayesw import simulate_weibull
+
+
+def _mega_sampler(ds, window, seed, quad_points):
+    s = BayesW(ds, window=window, seed=seed, mesh=make_mesh(1),
+               quad_points=quad_points)
+    s.cfg = dataclasses.replace(s.cfg, use_mega=True, interpret=True)
+    s._step = s._build_step()
+    s._multi = {}
+    return s
+
+
+def _compare(ds, window, seed=7, iters=3, quad_points=9,
+             beta_atol=5e-4):
+    ref = BayesW(ds, window=window, seed=seed, mesh=make_mesh(1),
+                 quad_points=quad_points)
+    mega = _mega_sampler(ds, window, seed, quad_points)
+    assert not ref.cfg.use_mega            # CPU backend: XLA path
+    sr = ref.init_state()
+    sm = mega.init_state()
+    for it in range(iters):
+        sr, str_ = ref.step(sr, it)
+        sm, stm = mega.step(sm, it)
+        np.testing.assert_allclose(np.asarray(str_.cass),
+                                   np.asarray(stm.cass))
+    np.testing.assert_allclose(np.asarray(sr.eps), np.asarray(sm.eps),
+                               atol=beta_atol, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sr.beta), np.asarray(sm.beta),
+                               atol=beta_atol, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(sr.components),
+                                  np.asarray(sm.components))
+    np.testing.assert_allclose(float(sr.alpha), float(sm.alpha), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sr.sigma_g),
+                               np.asarray(sm.sigma_g), rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sr.pi_l),
+                               np.asarray(sm.pi_l), rtol=1e-3, atol=1e-6)
+    return sr, sm
+
+
+def test_bw_mega_matches_window_path():
+    ds, *_ = simulate_weibull(m=128, n=400, seed=5)
+    _compare(ds, window=32)
+
+
+def test_bw_mega_matches_window_path_w8():
+    ds, *_ = simulate_weibull(m=64, n=300, seed=9)
+    _compare(ds, window=8, quad_points=25)
+
+
+def test_bw_mega_matches_window_path_censoring():
+    ds, *_ = simulate_weibull(m=96, n=300, censor_frac=0.3, seed=11)
+    _compare(ds, window=24)
