@@ -91,8 +91,10 @@ def make_problem(m, n, seed=1, block=4096):
     return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
 
 
-def measure_numpy_baseline(ds, sweeps=2):
-    """Sequential reference-math sweep timing (cached)."""
+def measure_numpy_baseline(ds, sweeps=2, cached_only=False):
+    """Sequential reference-math sweep timing (cached). cached_only:
+    return (None, False) rather than measure (--skip-baseline still uses
+    an existing cached number for a real vs_baseline ratio)."""
     key = f"numpy_seq_m{ds.m}_n{ds.n}"
     if os.path.exists(CACHE):
         with open(CACHE) as fh:
@@ -101,6 +103,8 @@ def measure_numpy_baseline(ds, sweeps=2):
             return cache[key], False
     else:
         cache = {}
+    if cached_only:
+        return None, False
     from hydra_tpu.io.pheno import center_and_scale
     from hydra_tpu.io.plink import decode_bed_numpy
     from hydra_tpu.testing.reference_bayesrrm import sweep
@@ -304,10 +308,13 @@ def main():
         return
 
     baseline_s = None
-    if not args.skip_baseline and args.device != "cpu":
-        baseline_s, fresh = measure_numpy_baseline(ds)
-        print(f"# numpy sequential baseline: {baseline_s:.3f} s/sweep"
-              f"{' (measured now)' if fresh else ' (cached)'}", file=sys.stderr)
+    if args.device != "cpu":
+        baseline_s, fresh = measure_numpy_baseline(
+            ds, cached_only=args.skip_baseline)
+        if baseline_s:
+            print(f"# numpy sequential baseline: {baseline_s:.3f} s/sweep"
+                  f"{' (measured now)' if fresh else ' (cached)'}",
+                  file=sys.stderr)
 
     mesh = make_mesh(1)
     t0 = time.time()

@@ -368,35 +368,50 @@ def interleave(out4) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _stats_mt_kernel(T: int, pk_ref, eps_ref, s1_ref, s2_ref):
+def _stats_mt_kernel(T: int, complete: bool, pk_ref, eps_ref, s1_ref,
+                     s2_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         s1_ref[:, :] = jnp.zeros_like(s1_ref)
-        s2_ref[:, :] = jnp.zeros_like(s2_ref)
+        if not complete:
+            s2_ref[:, :] = jnp.zeros_like(s2_ref)
 
     pk32 = pk_ref[:, :].astype(jnp.int32)     # (W, TB)
     s1 = [None] * T
     s2 = [None] * T
     for k in range(4):
-        g, m = _decode_k(pk32, k)
+        if complete:
+            g = _decode_g_int(pk32, k)   # pads -> 1, nulled by eps == 0
+            m = None
+        else:
+            g, m = _decode_k(pk32, k)
         for t in range(T):
             e = eps_ref[k * T + t: k * T + t + 1, :]        # (1, TB)
             a = jnp.sum(g * e, axis=1, keepdims=True)       # (W, 1)
-            b = jnp.sum(m * e, axis=1, keepdims=True)
             s1[t] = a if s1[t] is None else s1[t] + a
-            s2[t] = b if s2[t] is None else s2[t] + b
+            if not complete:
+                b = jnp.sum(m * e, axis=1, keepdims=True)
+                s2[t] = b if s2[t] is None else s2[t] + b
     for t in range(T):
         s1_ref[:, t: t + 1] += s1[t]
-        s2_ref[:, t: t + 1] += s2[t]
+        if not complete:
+            s2_ref[:, t: t + 1] += s2[t]
 
 
 def window_stats_mt(packed: jax.Array, eps_t: jax.Array, n_traits: int,
-                    tile_bytes: int = 0, vma=None, interpret: bool = False
-                    ) -> Tuple[jax.Array, jax.Array]:
+                    tile_bytes: int = 0, vma=None, interpret: bool = False,
+                    complete: bool = False
+                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """(s1, s2) each (W, T): per-trait genotype/mask dots for one window.
 
     packed: (W, NB) uint8; eps_t: (4*T, NB) plane-major multi-trait
     residual (deinterleave_mt of the (n_pad, T) residual).
+
+    complete=True (no missing genotypes): the mask dot is the same
+    per-trait residual sum for every marker — the kernel skips the mask
+    work (s2=None returned); the caller broadcasts its own per-trait
+    sum(eps_t) (eps is zero on pad lanes AND trait-NaN entries by the mt
+    invariant, samplers/bayesrrm_mt.py:77).
     """
     W, NB = packed.shape
     T = n_traits
@@ -420,41 +435,56 @@ def window_stats_mt(packed: jax.Array, eps_t: jax.Array, n_traits: int,
         ],
     )
     s1, s2 = pl.pallas_call(
-        functools.partial(_stats_mt_kernel, T),
+        functools.partial(_stats_mt_kernel, T, complete),
         grid_spec=grid_spec,
         out_shape=[sds((W, T)), sds((W, T))],
         interpret=interpret,
     )(packed, eps_t)
-    return s1, s2
+    return s1, (None if complete else s2)
 
 
-def _axpy_mt_kernel(T: int, pk_ref, c1_ref, c2_ref, out_ref):
+def _axpy_mt_kernel(T: int, complete: bool, pk_ref, c1_ref, c2_ref,
+                    out_ref):
     pk32 = pk_ref[:, :].astype(jnp.int32)     # (W, TB)
 
     def split(c):
         hi = c.astype(jnp.bfloat16).astype(f32)
         return hi, c - hi
     c1h, c1l = split(c1_ref[:, :])            # (T, W)
-    c2h, c2l = split(c2_ref[:, :])
+    if not complete:
+        c2h, c2l = split(c2_ref[:, :])
     for k in range(4):
-        g, m = _decode_k(pk32, k)
-        # true (T, W) x (W, TB) matmuls — T rows ride the same MXU passes
-        # a single-trait vecmat would use (see _axpy_kernel for the exact-
-        # f32 hi/lo argument; g/m are bf16-exact)
-        contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
-                   + jnp.dot(c1l, g, preferred_element_type=f32)
-                   + jnp.dot(c2h, m, preferred_element_type=f32)
-                   + jnp.dot(c2l, m, preferred_element_type=f32))  # (T, TB)
+        if complete:
+            # complete data: the c2 term is the per-trait scalar sum(c2),
+            # added (and trait-masked) by the caller
+            g = _decode_g_int(pk32, k)
+            contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
+                       + jnp.dot(c1l, g, preferred_element_type=f32))
+        else:
+            g, m = _decode_k(pk32, k)
+            # true (T, W) x (W, TB) matmuls — T rows ride the same MXU
+            # passes a single-trait vecmat would use (see _axpy_kernel for
+            # the exact-f32 hi/lo argument; g/m are bf16-exact)
+            contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
+                       + jnp.dot(c1l, g, preferred_element_type=f32)
+                       + jnp.dot(c2h, m, preferred_element_type=f32)
+                       + jnp.dot(c2l, m, preferred_element_type=f32))  # (T, TB)
         out_ref[k * T:(k + 1) * T, :] = contrib
 
 
 def window_axpy_mt(packed: jax.Array, c1: jax.Array, c2: jax.Array,
-                   tile_bytes: int = 0, vma=None, interpret: bool = False
-                   ) -> jax.Array:
+                   tile_bytes: int = 0, vma=None, interpret: bool = False,
+                   complete: bool = False) -> jax.Array:
     """dEps_t (4*T, NB) = sum_m c1[t,m] G_m + c2[t,m] M_m per trait.
 
     c1/c2: (T, W) — for the mt residual update c1 = (dbeta*mstd).T and
     c2 = -(dbeta*mstd*mave).T (dbeta already carries mstd in the sampler).
+
+    complete=True: returns only the genotype part; the caller must add the
+    per-trait scalar c2.sum(axis=1) and apply the trait mask (which also
+    zeroes pad lanes):
+        d_eps = (window_axpy_mt(..., complete=True)
+                 + jnp.tile(c2.sum(1), 4)[:, None]) * trait_mask_t
     """
     W, NB = packed.shape
     T = c1.shape[0]
@@ -473,7 +503,7 @@ def window_axpy_mt(packed: jax.Array, c1: jax.Array, c2: jax.Array,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_axpy_mt_kernel, T),
+        functools.partial(_axpy_mt_kernel, T, complete),
         grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(packed, c1.astype(f32), c2.astype(f32))

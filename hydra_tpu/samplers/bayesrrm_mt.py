@@ -63,6 +63,7 @@ class MtConfig:
     n_dcn: int = 1
     shuffle: bool = True
     use_pallas: bool = False   # fused multi-trait window kernels (TPU)
+    complete: bool = False     # no missing genotypes (fast kernels)
 
     @property
     def n_windows(self):
@@ -165,7 +166,14 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             # materializes two (W, N) planes in HBM every window
             from hydra_tpu.ops.window_kernels import window_stats_mt
 
-            s1, s2 = window_stats_mt(pk, eps, T, vma=vma_axes)  # (W, T)
+            s1, s2 = window_stats_mt(pk, eps, T, vma=vma_axes,
+                                     complete=cfg.complete)    # (W, T)
+            if s2 is None:
+                # complete data: every marker's mask dot is the per-trait
+                # residual sum (eps is zero on pads and trait-NaN entries)
+                s2 = jnp.broadcast_to(
+                    jnp.sum(eps.reshape(4, T, -1), axis=(0, 2))[None, :],
+                    s1.shape)
             s1, s2 = psum_i(s1), psum_i(s2)
         else:
             A, B = decode_planes(pk, f32)           # (W, N)
@@ -210,8 +218,14 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         if cfg.use_pallas:
             from hydra_tpu.ops.window_kernels import window_axpy_mt
 
-            d_eps = window_axpy_mt(pk, dbeta.T, -(dbeta * mave_w).T,
-                                   vma=vma_axes)          # (4T, NB)
+            c2 = -(dbeta * mave_w).T
+            if cfg.complete:
+                d_eps = (window_axpy_mt(pk, dbeta.T, c2, vma=vma_axes,
+                                        complete=True)
+                         + jnp.tile(jnp.sum(c2, axis=1), 4)[:, None])
+            else:
+                d_eps = window_axpy_mt(pk, dbeta.T, c2,
+                                       vma=vma_axes)      # (4T, NB)
             d_eps = hier_psum(d_eps, cfg.n_dcn) * tm_t
         else:
             d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32, precision=_HI)    # (N, T)
@@ -307,7 +321,8 @@ class BayesRRmMT:
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
             n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
-            use_pallas=(jax.default_backend() == "tpu" and window >= 8))
+            use_pallas=(jax.default_backend() == "tpu" and window >= 8),
+            complete=bool(np.asarray(geno.nm).sum() == 0))
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes

@@ -237,6 +237,64 @@ def main():
     check("sweep_mega.comp", out_m[:, 1], out_r[:, 1], tol=0)
     check("sweep_mega.acum", out_m[:, 2], out_r[:, 2], tol=1e-4)
 
+    # BayesW whole-sweep mega-kernel: compiled vs interpret mode of the
+    # SAME kernel (the CPU suite already asserts interpret == the XLA
+    # per-window path, tests/test_sweep_kernel_bw.py; this isolates the
+    # Mosaic lowering)
+    from hydra_tpu.samplers.bayesw import gh_table
+    from hydra_tpu.ops.sweep_kernel_bw import bw_mrow_width, sweep_stale_bw
+
+    kbw, n_shr = 4, 24
+    km1 = kbw - 1
+    alpha_v = 2.0
+    pk_bw = rs.randint(0, 256, (m_loc, NB), dtype=np.uint8)
+    eps_bw = (rs.randn(N) * 0.3).astype(np.float32)
+    vi_bw = np.exp(alpha_v * eps_bw - 0.577).astype(np.float32)
+    mask1 = np.ones(N, np.float32)
+    mave_b = rs.uniform(0.2, 1.8, m_loc)
+    invsd_b = rs.uniform(0.5, 2.0, m_loc)
+    bold_b = rs.randn(m_loc) * 0.01
+    cva = rs.uniform(1e-3, 1e-1, (m_loc, km1))
+    sig = 0.05
+    gx, gw = gh_table(9)
+    ghx_p = np.zeros((1, 128), np.float32)
+    ghw_p = np.zeros((1, 128), np.float32)
+    ghx_p[0, :9], ghw_p[0, :9] = gx, gw
+    mrow_bw = np.column_stack(
+        [mave_b, invsd_b, bold_b, rs.uniform(0, 1, m_loc),
+         (rs.uniform(0, 1, m_loc) > 0.1).astype(np.float64),
+         rs.randn(m_loc) * 0.5,
+         alpha_v * mave_b * invsd_b, alpha_v * (mave_b - 1) * invsd_b,
+         alpha_v * (mave_b - 2) * invsd_b,
+         np.exp(alpha_v * bold_b * (0 - mave_b) * invsd_b),
+         np.exp(alpha_v * bold_b * (1 - mave_b) * invsd_b),
+         np.exp(alpha_v * bold_b * (2 - mave_b) * invsd_b),
+         np.full(m_loc, 0.9 * 1.7724539),
+         np.column_stack([np.full(m_loc, 0.05), np.full(m_loc, 0.03),
+                          np.full(m_loc, 0.02)]),
+         np.sqrt(2.0 * cva * sig), alpha_v * alpha_v * sig * cva,
+         2.0 * cva * sig, 2.0 * np.sqrt(sig * cva),
+         rs.exponential(size=m_loc), rs.uniform(0, 1, m_loc),
+         rs.uniform(0, 1, (m_loc, n_shr))]).astype(np.float32)
+    assert mrow_bw.shape[1] == bw_mrow_width(kbw, n_shr)
+
+    def run_bw(interp):
+        f = jax.jit(lambda p, e, v, r: sweep_stale_bw(
+            p, deinterleave(e), deinterleave(v), r,
+            jnp.asarray(ghx_p), jnp.asarray(ghw_p), alpha_v,
+            window=W, n_mix=kbw, complete=False,
+            ind_mask4=deinterleave(jnp.asarray(mask1)), n_shrink=n_shr,
+            interpret=interp))
+        e, o = f(jnp.asarray(pk_bw), jnp.asarray(eps_bw),
+                 jnp.asarray(vi_bw), jnp.asarray(mrow_bw))
+        return np.asarray(interleave(e)), np.asarray(o)
+
+    eps_c, out_c = run_bw(False)
+    eps_i, out_i = run_bw(True)
+    check("sweep_bw.eps", eps_c, eps_i, tol=5e-4)
+    check("sweep_bw.beta", out_c[:, 0], out_i[:, 0], tol=5e-4)
+    check("sweep_bw.comp", out_c[:, 1], out_i[:, 1], tol=0)
+
     if fails:
         print(f"FATAL  : {fails} kernel check(s) failed", flush=True)
         return 1

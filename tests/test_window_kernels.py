@@ -190,3 +190,52 @@ def test_window_stats_mt_multi_tile():
                              tile_bytes=256, interpret=True)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(A) @ np.asarray(eps),
                                rtol=2e-4, atol=1e-4)
+
+
+def _make_complete(packed):
+    """Rewrite missing codes (01) to hom-alt (00)."""
+    pk = np.asarray(packed)
+    out = np.zeros_like(pk)
+    for shift in (0, 2, 4, 6):
+        code = (pk >> shift) & 0b11
+        code = np.where(code == 0b01, 0b00, code)
+        out |= code << shift
+    return jnp.asarray(out)
+
+
+def test_window_stats_mt_complete_fast_path():
+    from hydra_tpu.ops.window_kernels import deinterleave_mt, window_stats_mt
+
+    T = 3
+    packed, _, _, _ = _inputs(w=16, n=4096, seed=51)
+    packed = _make_complete(packed)
+    rs = np.random.RandomState(52)
+    eps = jnp.asarray(rs.randn(4096, T).astype(np.float32))
+    s1_full, s2_full = window_stats_mt(packed, deinterleave_mt(eps), T,
+                                       interpret=True)
+    s1_fast, s2_fast = window_stats_mt(packed, deinterleave_mt(eps), T,
+                                       interpret=True, complete=True)
+    assert s2_fast is None
+    np.testing.assert_allclose(np.asarray(s1_fast), np.asarray(s1_full),
+                               rtol=1e-6)
+    # caller-side s2: per-trait residual sum broadcasts over markers
+    np.testing.assert_allclose(
+        np.broadcast_to(np.asarray(jnp.sum(eps, axis=0))[None, :], (16, T)),
+        np.asarray(s2_full), rtol=1e-4, atol=1e-3)
+
+
+def test_window_axpy_mt_complete_fast_path():
+    from hydra_tpu.ops.window_kernels import window_axpy_mt
+
+    T = 3
+    W = 16
+    packed, _, _, _ = _inputs(w=W, n=4096, seed=61)
+    packed = _make_complete(packed)
+    rs = np.random.RandomState(62)
+    c1 = jnp.asarray((rs.randn(T, W) * 0.01).astype(np.float32))
+    c2 = jnp.asarray((rs.randn(T, W) * 0.01).astype(np.float32))
+    full = window_axpy_mt(packed, c1, c2, interpret=True)
+    fast = (window_axpy_mt(packed, c1, c2, interpret=True, complete=True)
+            + jnp.tile(jnp.sum(c2, axis=1), 4)[:, None])
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
