@@ -180,8 +180,10 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
                         - vi1 * _expm1(th1 * sq)
                         - vi2 * _expm1(th2 * sq)
                         - s_nodes * s_nodes)
-                integral = jnp.sum(ghw * jnp.exp(temp), axis=1,
-                                   keepdims=True)                    # (W,1)
+                # sigma_ad = the adaptive substitution's Jacobian
+                # (reference returns sigma*temp, BayesW.cpp:711)
+                integral = sigma_ad * jnp.sum(ghw * jnp.exp(temp), axis=1,
+                                              keepdims=True)         # (W,1)
                 mls.append(mrow_ref[:, bp + j:bp + j + 1] * integral)
 
             sm_ml = mls[0]

@@ -316,7 +316,13 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                 - vi1[:, None, None] * jnp.expm1(th1[:, None, None] * sq)
                 - vi2[:, None, None] * jnp.expm1(th2[:, None, None] * sq)
                 - s_nodes * s_nodes)
-        integral = jnp.sum(gh_w[None, None, :] * jnp.exp(temp), axis=-1)
+        # the adaptive substitution's Jacobian sigma_ad multiplies the
+        # integral (reference returns sigma*temp, BayesW.cpp:711) — without
+        # it every non-zero marginal likelihood is inflated by 1/sigma_ad
+        # (5-50x), spike escapes avalanche and sigmaG runs away on weakly
+        # identified data (validated against exact numerical integration)
+        integral = sigma_ad * jnp.sum(
+            gh_w[None, None, :] * jnp.exp(temp), axis=-1)
         ml = jnp.concatenate(
             [jnp.exp(log_pi[grp_w][:, :1]) * SQRT_PI,
              jnp.exp(log_pi[grp_w][:, 1:]) * integral], axis=1)   # (W, K)
