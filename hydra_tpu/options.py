@@ -92,6 +92,7 @@ class Options:
     ind_shards: int = 1                  # individual-axis mesh shards (N-sharding)
     dcn_slices: int = 1                  # multi-slice hierarchy: ("dcn","markers")
     dtype: str = "float32"               # accumulation dtype
+    plane_cache: str = "auto"            # int8 decoded-plane cache (ops/planes.py)
 
     @property
     def mcmc_out(self) -> str:
@@ -231,6 +232,11 @@ def build_parser() -> argparse.ArgumentParser:
       choices=["float32", "float64"],
       help="sampler accumulation dtype; float64 needs JAX_ENABLE_X64 "
            "(the reference is f64 end-to-end)")
+    a("--cache-planes", dest="plane_cache", default="auto",
+      choices=["auto", "on", "off"],
+      help="cache int8 decoded genotype planes in HBM (stale complete-data "
+           "runs): halves the per-genotype decode work when M x N fits; "
+           "auto enables under a 9 GB budget")
     # Reference-compat flags. --raw-update selects a numerically identical
     # epsilon update formula in the reference's 1-rank path (BayesW.cpp:1812)
     # -> accepted no-op. The PPBayes/preprocess flags select the non-MPI
@@ -311,6 +317,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.ind_shards = ns.ind_shards
     opt.dcn_slices = ns.dcn_slices
     opt.dtype = ns.dtype
+    opt.plane_cache = ns.plane_cache
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
         raise SystemExit(
             "FATAL  : the PPBayes/preprocess path is not built in the "

@@ -61,6 +61,11 @@ from hydra_tpu.parallel.mesh import (
     IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.utils import dist
 
+# Auto-enable budget for the int8 decoded-plane cache (ops/planes.py):
+# planes + packed together must leave HBM headroom for eps/outputs and
+# XLA temporaries on a 16 GB v5e chip.
+PLANES_HBM_BUDGET = 9_000_000_000
+
 # Hyper-priors (BayesRRm.h:29-34)
 V0E = 1e-4
 S02E = 1e-4
@@ -93,6 +98,7 @@ class BayesRRmConfig:
     shuffle: bool = True
     use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
     use_mega: bool = False     # whole-sweep mega-kernel (single-shard stale)
+    use_planes: bool = False   # cached int8 decoded planes (ops/planes.py)
     interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes anywhere (fast kernels)
     dtype: str = "float32"     # accumulation dtype (--dtype; reference is f64)
@@ -138,7 +144,7 @@ class IterStats(NamedTuple):
 
 
 def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
-                     packed, groups, mave, mstd, valid,
+                     packed, planes, groups, mave, mstd, valid,
                      cva, cvai, dirc, sigma_priors, mtot_grp, ind_mask, x_cov):
     """One Gibbs sweep on the local marker shard (runs under shard_map)."""
     f32 = jnp.float64 if cfg.dtype == "float64" else jnp.float32
@@ -221,7 +227,11 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     def window_body(w, carry):
         eps, beta, comps, acum, lam, nu, cass, sum_abs_db = carry
         idx = jax.lax.dynamic_slice(perm, (w * W,), (W,))
-        pk = jnp.take(packed, idx, axis=0)
+        if cfg.use_planes:
+            pl_w = jnp.take(planes, idx, axis=0)        # (W, 4*NB) int8
+            pk = None
+        else:
+            pk = jnp.take(packed, idx, axis=0)
         mave_w = jnp.take(mave, idx)
         mstd_w = jnp.take(mstd, idx)
         grp_w = jnp.take(groups, idx)
@@ -230,7 +240,24 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         u_w = jnp.take(u_loc, idx)
         nrm_w = jnp.take(n_loc, idx)
 
-        if cfg.use_pallas:
+        if cfg.use_planes:
+            # cached int8 decoded planes (ops/planes.py): no in-kernel 2-bit
+            # decode — stats are a widen + VPU multiply-reduce over the flat
+            # deinterleaved columns; eps (4, NB) viewed flat is the same
+            # memory. Complete-data semantics (gated in __init__).
+            from hydra_tpu.ops.planes import window_stats_planes
+
+            # eps is replicated over the marker axis; the kernel's outputs
+            # are varying — mark the input varying for shard_map's vma
+            # checker (numerically the identity)
+            e_flat = jax.lax.pcast(eps.reshape(1, -1), ma, to="varying")
+            s1 = window_stats_planes(pl_w, e_flat, vma=vma_axes,
+                                     interpret=cfg.interpret)
+            s2 = jnp.sum(eps)          # pad lanes of eps are zero
+            base = psum_i(mstd_w * (s1 - mave_w * s2))
+            gram_fused = None
+            xt = None
+        elif cfg.use_pallas:
             # fused decode+dot(+Gram) in VMEM (ops/window_kernels.py): HBM
             # sees only the packed bytes, not W x N decoded planes. The
             # residual rides the loop carry in plane-major (4, NB) layout —
@@ -403,7 +430,15 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
         # residual sync: dense psum over the marker mesh axis
         # (replaces MPI_Allreduce(dEpsSum), BayesRRm.cpp:2456-2460)
-        if cfg.use_pallas:
+        if cfg.use_planes:
+            from hydra_tpu.ops.planes import window_axpy_planes
+
+            c1 = dbeta * mstd_w
+            c2 = -c1 * mave_w
+            d_eps = ((window_axpy_planes(pl_w, c1, vma=vma_axes,
+                                         interpret=cfg.interpret)
+                      + jnp.sum(c2)).reshape(4, -1)) * ind_mask4
+        elif cfg.use_pallas:
             from hydra_tpu.ops.window_kernels import window_axpy
 
             c1 = dbeta * mstd_w
@@ -511,7 +546,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             lam = lam.at[perm].set(rate / jnp.take(g_lam, perm))
             nu = nu.at[perm].set(nu_w_s)
     else:
-        if cfg.use_pallas:
+        if cfg.use_pallas or cfg.use_planes:
             from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
             eps = deinterleave(eps)  # (4, NB) plane-major across the sweep
@@ -519,7 +554,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
             0, cfg.n_windows, window_body,
             (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
-        if cfg.use_pallas:
+        if cfg.use_pallas or cfg.use_planes:
             eps = interleave(eps)
 
     # ---- cross-shard reductions (BayesRRm.cpp:2515-2521) ----
@@ -620,7 +655,7 @@ class BayesRRm:
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
                  n_ind: int = 1, n_dcn: int = 1,
                  fh_params: Optional[dict] = None,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", plane_cache: str = "auto"):
         if dtype == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "--dtype float64 requires x64 mode "
@@ -641,6 +676,23 @@ class BayesRRm:
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
+        complete = bool(np.asarray(geno.nm).sum() == 0)
+        tpu_f32 = jax.default_backend() == "tpu" and dtype == "float32"
+        use_mega = (tpu_f32 and window >= 8 and not exact
+                    and geno.n_pad <= 16384
+                    and n_dev == 1 and n_ind == 1 and n_dcn == 1)
+        # cached int8 decoded planes (ops/planes.py): stale complete-data
+        # windows on wide-N problems whose planes fit the HBM budget — the
+        # in-kernel 2-bit decode (the measured sweep bound at N >= 50K)
+        # is replaced by a widen, halving VPU ops at 4x the (non-
+        # bottleneck) HBM traffic. "auto" enables when M_glob x n_pad
+        # int8 fits alongside the packed bytes; "on" forces it.
+        planes_bytes = m_loc * n_dev * geno.n_pad
+        use_planes = (tpu_f32 and window >= 8 and not exact and complete
+                      and n_ind == 1 and not use_mega
+                      and plane_cache != "off"
+                      and (plane_cache == "on"
+                           or planes_bytes <= PLANES_HBM_BUDGET))
         self.cfg = BayesRRmConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
             n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
@@ -649,12 +701,11 @@ class BayesRRm:
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
             # complete data (no missing genotypes among real individuals):
             # mask-plane work in the window kernels degenerates to sums
-            complete=bool(np.asarray(geno.nm).sum() == 0),
+            complete=complete,
             # window >= 8: the VPU lane reductions need a full sublane tile;
             # Mosaic rejects W=1 reduces ("only constant accumulators
             # supported"), and sub-8 windows are latency-bound anyway.
-            use_pallas=(jax.default_backend() == "tpu" and dtype == "float32"
-                        and window >= 8),
+            use_pallas=(tpu_f32 and window >= 8),
             # whole-sweep fusion (ops/sweep_kernel.py): stale windows on a
             # single marker shard — multi-shard/ind-sharded runs need
             # per-window collectives a kernel cannot issue. Gated to narrow
@@ -662,9 +713,8 @@ class BayesRRm:
             # dominates there (5.8 -> 1.9 ms at M=10K x N=5K); at N=50K
             # the per-sweep shuffle gather outweighs it (crossover measured
             # at N ~ 20K, see STATUS.md).
-            use_mega=(jax.default_backend() == "tpu" and dtype == "float32"
-                      and window >= 8 and not exact and geno.n_pad <= 16384
-                      and n_dev == 1 and n_ind == 1 and n_dcn == 1),
+            use_mega=use_mega,
+            use_planes=use_planes,
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),
             tau0=fhp.get("tau0", 1.0),
@@ -706,6 +756,14 @@ class BayesRRm:
         self._shard_i = shard_i
         put = jax.device_put
         self.packed = put(packed_g, shard_m2)
+        shard_pl = NamedSharding(self.mesh, P(max_, None))
+        if cfg.use_planes:
+            from hydra_tpu.ops.planes import build_planes_host
+
+            self.planes = put(build_planes_host(packed_g), shard_pl)
+        else:  # placeholder keeping the shard_map arity/specs static
+            # cfg.n_dev is the TOTAL marker-shard count (incl. dcn)
+            self.planes = put(np.zeros((cfg.n_dev, 128), np.int8), shard_pl)
         self.groups = put(groups_g, shard_m)
         self.mave = put(mave_g, shard_m)
         self.mstd = put(mstd_g, shard_m)
@@ -863,9 +921,10 @@ class BayesRRm:
         stats_specs = IterStats(m0=rep, cass=rep, beta_sqn=rep, sum_abs_dbeta=rep)
 
         fn = functools.partial(_local_iteration, cfg)
+        pm_pl = P(max_, None)   # decoded-plane cache rows (or placeholder)
         self._sharded = sharded = jax.shard_map(
             fn, mesh=self.mesh,
-            in_specs=(rep, rep, state_specs, pm2, pm, pm, pm, pm,
+            in_specs=(rep, rep, state_specs, pm2, pm_pl, pm, pm, pm, pm,
                       rep, rep, rep, rep, rep, pi, pi2),
             out_specs=(state_specs, stats_specs),
         )
@@ -876,8 +935,8 @@ class BayesRRm:
         # makes the compile payload scale with M (1.25 GB of MLIR at
         # M=100K x N=50K — it broke the remote-compile transport long
         # before XLA even started).
-        self._consts = (self.packed, self.groups, self.mave, self.mstd,
-                        self.valid, self.cva, self.cvai, self.dirc,
+        self._consts = (self.packed, self.planes, self.groups, self.mave,
+                        self.mstd, self.valid, self.cva, self.cvai, self.dirc,
                         self.sigma_priors, self.mtot_grp, self.ind_mask,
                         self.x_cov)
 

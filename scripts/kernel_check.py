@@ -114,6 +114,18 @@ def main():
     check("levels.complete.s2", lc2,
           jnp.matmul((Gc == 2.0).astype(np.float32), vi, precision=hi))
 
+    # cached decoded-plane kernels (ops/planes.py) vs the same golden dots
+    from hydra_tpu.ops.planes import (build_planes_host,
+                                      window_axpy_planes,
+                                      window_stats_planes)
+    planes = jnp.asarray(build_planes_host(comp))
+    ef = jax.jit(lambda e: deinterleave(e).reshape(1, -1))(eps)
+    s1p = jax.jit(window_stats_planes)(planes, ef)
+    check("planes.stats.s1", s1p, jnp.matmul(Gc, eps, precision=hi))
+    dep = jax.jit(lambda p, a: interleave(
+        (window_axpy_planes(p, a)).reshape(4, -1)))(planes, c1)
+    check("planes.axpy", dep, jnp.matmul(c1, Gc, precision=hi))
+
     # fused exact-recurrence kernel vs the jnp scan it replaces
     K = 4
     num0 = jnp.asarray(rs.randn(W).astype(np.float32))
