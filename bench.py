@@ -284,6 +284,8 @@ def main():
     # 83-332 ranks => hundreds of stale markers per window). --exact runs
     # Gram-corrected sequential Gibbs (sync-rate=1 semantics).
     ap.add_argument("--exact", action="store_true")
+    ap.add_argument("--cache-planes", dest="plane_cache", default="auto",
+                    choices=["auto", "on", "off"])
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--model", choices=["bayesrrm", "bayesw", "mt"],
                     default="bayesrrm")
@@ -319,7 +321,10 @@ def main():
     mesh = make_mesh(1)
     t0 = time.time()
     sampler = BayesRRm(ds, window=args.window, exact=args.exact,
-                       seed=11, mesh=mesh)
+                       seed=11, mesh=mesh, plane_cache=args.plane_cache)
+    if sampler.cfg.use_planes:
+        print("# plane cache: ON (int8 decoded planes resident in HBM)",
+              file=sys.stderr, flush=True)
     state = sampler.init_state()
     print(f"# setup: layout+device_put in {time.time() - t0:.1f} s",
           file=sys.stderr, flush=True)

@@ -71,22 +71,39 @@ def build_planes_host(packed: np.ndarray) -> np.ndarray:
 
 
 def _auto_tile_planes(np_cols: int, w: int) -> int:
-    """Tile of the flat column dim: i8 block (W, tn) + ~2 widened f32
-    temps of the same shape, targeting a ~4 MB live set."""
-    budget = 4 * 1024 * 1024
-    per_col = max(w, 8) * (1 + 2 * 4)
-    pref = int(budget / per_col)
+    """Tile of the flat column dim. The i8 block itself can be big (the
+    widen is SUB-TILED inside the kernel, so the live f32 temp stays
+    ~1 MB regardless); what matters is keeping the per-window grid-step
+    count comparable to the packed kernels' (each step costs ~1.4 us of
+    fixed overhead). Budget the (double-buffered) i8 block at ~6 MB."""
+    budget = 6 * 1024 * 1024
+    pref = int(budget / max(w, 8))
     return _pick_tile(np_cols, max(512, (pref // 128) * 128))
 
 
-def _stats_kernel(pl_ref, eps_ref, s1_ref):
-    g = pl_ref[:, :].astype(jnp.int32).astype(f32)   # (W, TN)
-    e = eps_ref[:, :]                                # (1, TN)
+def _sub_slices(tn: int, target: int = 2048):
+    """Static sub-slice width dividing tn, close to `target` columns —
+    bounds the in-kernel widened f32 temp to W x sub x 4 bytes."""
+    best = tn
+    for cand in range(128, tn + 1, 128):
+        if tn % cand == 0 and cand <= target:
+            best = cand
+    return best
+
+
+def _stats_kernel(n_sub: int, sub: int, pl_ref, eps_ref, s1_ref):
     # VPU lane reduction — MXU matvecs with one live output column are
-    # pathological (window_kernels module docstring). First grid step
-    # stores, later steps accumulate (a zeros_like init would strip the
-    # vma annotation under shard_map's interpret-mode checker).
-    val = jnp.sum(g * e, axis=1, keepdims=True)
+    # pathological (window_kernels module docstring). The i8 -> f32 widen
+    # is done per sub-slice so its temp stays small while the HBM block
+    # stays big (few grid steps). First grid step stores, later steps
+    # accumulate (a zeros_like init would strip the vma annotation under
+    # shard_map's interpret-mode checker).
+    val = None
+    for j in range(n_sub):
+        g = pl_ref[:, j * sub:(j + 1) * sub].astype(jnp.int32).astype(f32)
+        e = eps_ref[:, j * sub:(j + 1) * sub]        # (1, sub)
+        a = jnp.sum(g * e, axis=1, keepdims=True)
+        val = a if val is None else val + a
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -109,10 +126,11 @@ def window_stats_planes(planes: jax.Array, eps_flat: jax.Array,
     W, NP = planes.shape
     tn = tile_cols if tile_cols else _auto_tile_planes(NP, W)
     grid = (NP // tn,)
+    sub = _sub_slices(tn)
     sds = (jax.ShapeDtypeStruct((W, 1), f32, vma=set(vma)) if vma
            else jax.ShapeDtypeStruct((W, 1), f32))
     s1 = pl.pallas_call(
-        _stats_kernel,
+        functools.partial(_stats_kernel, tn // sub, sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -131,10 +149,10 @@ def window_stats_planes(planes: jax.Array, eps_flat: jax.Array,
     return s1[:, 0]
 
 
-def _axpy_kernel(pl_ref, c1_ref, out_ref):
-    g = pl_ref[:, :].astype(jnp.int32).astype(f32)   # (W, TN)
+def _axpy_kernel(n_sub: int, sub: int, pl_ref, c1_ref, out_ref):
     # 2-pass exact-f32 MXU vecmat: g values {0,1,2} are bf16-exact, so
-    # only the coefficient row needs the hi/lo split
+    # only the coefficient row needs the hi/lo split. Widen sub-slice by
+    # sub-slice (see _stats_kernel).
     c1 = c1_ref[:, :]
     c1h = c1.astype(jnp.bfloat16).astype(f32)
     c1l = c1 - c1h
@@ -146,8 +164,12 @@ def _axpy_kernel(pl_ref, c1_ref, out_ref):
     # under grid-position conds)
     @pl.when(pl.program_id(0) >= 0)
     def _():
-        out_ref[:, :] = (jnp.dot(c1h, g, preferred_element_type=f32)
-                         + jnp.dot(c1l, g, preferred_element_type=f32))
+        for j in range(n_sub):
+            g = pl_ref[:, j * sub:(j + 1) * sub].astype(
+                jnp.int32).astype(f32)
+            out_ref[:, j * sub:(j + 1) * sub] = (
+                jnp.dot(c1h, g, preferred_element_type=f32)
+                + jnp.dot(c1l, g, preferred_element_type=f32))
 
 
 def window_axpy_planes(planes: jax.Array, c1: jax.Array,
@@ -161,10 +183,11 @@ def window_axpy_planes(planes: jax.Array, c1: jax.Array,
     W, NP = planes.shape
     tn = tile_cols if tile_cols else _auto_tile_planes(NP, W)
     grid = (NP // tn,)
+    sub = _sub_slices(tn)
     sds = (jax.ShapeDtypeStruct((1, NP), f32, vma=set(vma)) if vma
            else jax.ShapeDtypeStruct((1, NP), f32))
     return pl.pallas_call(
-        _axpy_kernel,
+        functools.partial(_axpy_kernel, tn // sub, sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hydra_tpu.ops.window_kernels import (_auto_tile, _decode_g_int,
+from hydra_tpu.ops.window_kernels import (_auto_tile, _decode_h_int,
                                            _decode_k)
 
 f32 = jnp.float32
@@ -89,7 +89,9 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
         for k in range(4):
             e = et[k:k + 1, :]                 # (1, tb)
             if complete:
-                g = _decode_g_int(pk32, k)
+                # h-decode (one op fewer): s1_s accumulates sum(h*eps);
+                # the draw reconstructs s1 = 2*sum(eps) - hs1
+                g = _decode_h_int(pk32, k)
                 a = jnp.sum(g * e, axis=1, keepdims=True)      # (W, 1)
                 b = jnp.sum(e).reshape(1, 1)   # mask dot == sum(eps)
             else:
@@ -116,7 +118,11 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
             nrm = mrow_ref[:, 4:5]
             act = mrow_ref[:, 5:6]
             s2v = s2_s[0:1, 0:1] if complete else s2_s[:, :]
-            num0 = mstd * (s1_s[:, :] - mave * s2v) + bold * dNm1  # (W,1)
+            if complete:   # s1 = 2*sum(eps) - hs1 (h-decode, see _stats)
+                s1v = 2.0 * s2v - s1_s[:, :]
+            else:
+                s1v = s1_s[:, :]
+            num0 = mstd * (s1v - mave * s2v) + bold * dNm1  # (W,1)
 
             bl, bi, bs = N_FIXED, N_FIXED + K, N_FIXED + 2 * K - 1
             logls = [mrow_ref[:, bl:bl + 1]]
@@ -165,6 +171,9 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
             c_s[2:3, :] = c2h
             c_s[3:4, :] = c2r - c2h
             csum_s[0:1, 0:1] = jnp.sum(c2).reshape(1, 1)
+            # 2*sum(c1) + sum(c2): the constant term of the h-decode axpy
+            csum_s[0:1, 1:2] = (2.0 * jnp.sum(c1)
+                                + jnp.sum(c2)).reshape(1, 1)
             out_ref[:, 0:1] = bnew
             out_ref[:, 1:2] = compf
             out_ref[:, 2:3] = acum
@@ -178,10 +187,13 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
         c2l = c_s[3:4, :]
         for k in range(4):
             if complete:
-                g = _decode_g_int(pk32, k)
-                d = (jnp.dot(c1h, g, preferred_element_type=f32)
-                     + jnp.dot(c1l, g, preferred_element_type=f32))
-                d = (d + csum_s[0:1, 0:1]) * mask_ref[t, k:k + 1, :]
+                # h-decode: sum c1*g = 2*sum(c1) - sum c1*h; the constant
+                # (incl. the c2 term) was precomputed into csum_s[0, 1]
+                h = _decode_h_int(pk32, k)
+                d = (csum_s[0:1, 1:2]
+                     - jnp.dot(c1h, h, preferred_element_type=f32)
+                     - jnp.dot(c1l, h, preferred_element_type=f32))
+                d = d * mask_ref[t, k:k + 1, :]
             else:
                 g, m = _decode_k(pk32, k)
                 d = (jnp.dot(c1h, g, preferred_element_type=f32)
@@ -254,7 +266,7 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pltpu.VMEM((W, 1), f32),    # s1
             pltpu.VMEM((W, 1), f32),    # s2 / eps-sum
             pltpu.VMEM((4, W), f32),    # axpy coeff rows [c1h, c1l, c2h, c2l]
-            pltpu.VMEM((1, 1), f32),    # sum(c2) (complete mode)
+            pltpu.VMEM((1, 2), f32),    # [sum(c2), 2*sum(c1)+sum(c2)]
         ],
     )
     out, eps_out = pl.pallas_call(

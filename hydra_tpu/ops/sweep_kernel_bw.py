@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hydra_tpu.ops.window_kernels import (_auto_tile, _decode_g_int,
+from hydra_tpu.ops.window_kernels import (_auto_tile, _decode_h_int,
                                            _decode_k)
 
 f32 = jnp.float32
@@ -113,13 +113,17 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
         for k in range(4):
             v = vt[k:k + 1, :]                     # (1, tb)
             if complete:
-                g = _decode_g_int(pk32, k)         # pads -> 1, nulled by v==0
+                # h-decode (one op fewer); indicators in terms of h=2-g
+                # (pads -> h=1 -> i1=1, nulled by v==0)
+                h = _decode_h_int(pk32, k)
+                i1 = h * (2.0 - h)
+                i2 = (1.0 - h) * (1.0 - 0.5 * h)
             else:
                 g, m = _decode_k(pk32, k)
                 c = jnp.sum(m * v, axis=1, keepdims=True)
                 bv = c if bv is None else bv + c
-            i1 = g * (2.0 - g)
-            i2 = g * (g - 1.0) * 0.5
+                i1 = g * (2.0 - g)
+                i2 = g * (g - 1.0) * 0.5
             a = jnp.sum(i1 * v, axis=1, keepdims=True)     # (W, 1)
             b = jnp.sum(i2 * v, axis=1, keepdims=True)
             s1 = a if s1 is None else s1 + a
@@ -258,6 +262,9 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             c_s[2:3, :] = c2h
             c_s[3:4, :] = c2r - c2h
             csum_s[0:1, 0:1] = jnp.sum(c2).reshape(1, 1)
+            # 2*sum(c1) + sum(c2): constant term of the h-decode axpy
+            csum_s[0:1, 1:2] = (2.0 * jnp.sum(c1)
+                                + jnp.sum(c2)).reshape(1, 1)
             out_ref[:, 0:1] = bnew
             out_ref[:, 1:2] = compf
             out_ref[:, 2:3] = dbeta
@@ -272,10 +279,13 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
         c2l = c_s[3:4, :]
         for k in range(4):
             if complete:
-                g = _decode_g_int(pk32, k)
-                d = (jnp.dot(c1h, g, preferred_element_type=f32)
-                     + jnp.dot(c1l, g, preferred_element_type=f32)
-                     + csum_s[0:1, 0:1]) * mask_ref[t, k:k + 1, :]
+                # h-decode: sum c1*g = 2*sum(c1) - sum c1*h; constant term
+                # (incl. sum(c2)) precomputed into csum_s[0, 1]
+                h = _decode_h_int(pk32, k)
+                d = (csum_s[0:1, 1:2]
+                     - jnp.dot(c1h, h, preferred_element_type=f32)
+                     - jnp.dot(c1l, h, preferred_element_type=f32)
+                     ) * mask_ref[t, k:k + 1, :]
             else:
                 g, m = _decode_k(pk32, k)
                 d = (jnp.dot(c1h, g, preferred_element_type=f32)
@@ -359,7 +369,7 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
             pltpu.VMEM((W, 1), f32),           # mask dot
             pltpu.VMEM((1, 1), f32),           # total sum(vi)
             pltpu.VMEM((4, W), f32),           # axpy coeff rows
-            pltpu.VMEM((1, 1), f32),           # sum(c2)
+            pltpu.VMEM((1, 2), f32),           # [sum(c2), 2*sum(c1)+sum(c2)]
             pltpu.VMEM((n_tiles, 4, tb), f32),  # resident vi
         ],
     )

@@ -89,27 +89,21 @@ def _decode_k(pk32, k):
     return g, m
 
 
-def _decode_g(pk32, k):
-    """Genotype plane only (complete-data fast path: the mask plane is
-    identically 1 on real individuals, so s2 degenerates to sum(eps))."""
-    bit0 = ((pk32 >> (2 * k)) & 1).astype(f32)
-    bit1 = ((pk32 >> (2 * k + 1)) & 1).astype(f32)
-    return (1.0 - bit0) * (2.0 - bit1)
-
-
-def _decode_g_int(pk32, k):
-    """Integer-only genotype decode for COMPLETE data: 5 int ops + 1 cast
-    (vs _decode_g's 4 int ops + 2 casts + 3 float ops).
-
-    g = ((c ^ 3) + 1) >> 1 maps code 00->2, 10->1, 11->0. The missing code
-    01 decodes to 1 instead of 0 — in complete mode it occurs only on PAD
-    individuals (padding bytes are 0b01010101), and every complete-mode
-    consumer already nullifies pad lanes: stats/level sums multiply by a
-    residual/vi vector that is zero on pads, and the axpy output is
+def _decode_h_int(pk32, k):
+    """Complement decode h = 2 - g for COMPLETE data: 4 int ops + 1 cast —
+    the cheapest per-plane decode (an all-int g decode needs 5 ops:
+    ((c^3)+1)>>1). h = (c + 1) >> 1 maps 00->0, 10->1, 11->2; consumers
+    reconstruct the genotype dot via
+        sum_i g_i v_i = 2 * sum_i v_i - sum_i h_i v_i
+    (the 2*sum term is a cheap row reduce the wrapper folds in). The
+    missing code 01 gives h = 1 (g = 1) — in complete mode it occurs only
+    on PAD individuals (padding bytes are 0b01010101), and every
+    complete-mode consumer nullifies pad lanes: stats/level sums multiply
+    by a residual/vi vector that is zero on pads, and the axpy output is
     multiplied by the individual mask (window_axpy docstring contract;
-    in-kernel mask_ref in the sweep kernel)."""
+    in-kernel mask_ref in the sweep kernels)."""
     c = (pk32 >> (2 * k)) & 3
-    return (((c ^ 3) + 1) >> 1).astype(f32)
+    return ((c + 1) >> 1).astype(f32)
 
 
 def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
@@ -128,7 +122,9 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
     s1 = s2 = None
     for k in range(4):
         if complete:
-            g = _decode_g_int(pk32, k)
+            # h-decode (one op fewer); the wrapper reconstructs
+            # s1 = 2*sum(eps) - hs1 outside the kernel
+            g = _decode_h_int(pk32, k)
             m = None
         else:
             g, m = _decode_k(pk32, k)
@@ -204,7 +200,13 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
         out_shape=out_shape,
         interpret=interpret,
     )(packed, eps_d, mave.reshape(W, 1), mstd.reshape(W, 1))
-    return (s1[:, 0], None if complete else s2[:, 0],
+    s1 = s1[:, 0]
+    if complete:
+        # kernel accumulated hs1 = sum h*eps with h = 2 - g (see
+        # _decode_h_int); pad lanes of eps are zero so the constant term
+        # is exactly 2*sum(eps)
+        s1 = 2.0 * jnp.sum(eps_d) - s1
+    return (s1, None if complete else s2[:, 0],
             (gram if exact else None))
 
 
@@ -219,15 +221,19 @@ def _axpy_kernel(complete: bool, pk_ref, c1_ref, c2_ref, out_ref):
         hi = c.astype(jnp.bfloat16).astype(f32)
         return hi, c - hi
     c1h, c1l = split(c1_ref[:, :])          # (1, W)
-    if not complete:
+    if complete:
+        two_c1s = 2.0 * jnp.sum(c1_ref[:, :])
+    else:
         c2h, c2l = split(c2_ref[:, :])
     for k in range(4):
         if complete:
             # complete data: M_k == 1 on real individuals — the c2 term is
-            # the scalar sum(c2), added (and pad-masked) by the caller
-            g = _decode_g_int(pk32, k)
-            contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
-                       + jnp.dot(c1l, g, preferred_element_type=f32))
+            # the scalar sum(c2), added (and pad-masked) by the caller.
+            # h-decode (one op fewer): sum c1*g = 2*sum(c1) - sum c1*h
+            h = _decode_h_int(pk32, k)
+            contrib = (two_c1s
+                       - jnp.dot(c1h, h, preferred_element_type=f32)
+                       - jnp.dot(c1l, h, preferred_element_type=f32))
         else:
             g, m = _decode_k(pk32, k)
             contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
@@ -284,12 +290,16 @@ def _levels_kernel(complete: bool, pk_ref, v_ref, s1_ref, s2_ref, sm_ref):
     s1 = s2 = sm = None
     for k in range(4):
         if complete:
-            g = _decode_g_int(pk32, k)   # pad lanes decode to 1 -> i1 = 1,
-            # nullified by v == 0 on pads (see _decode_g_int)
+            # h-decode (one op fewer); indicators in terms of h = 2 - g:
+            # i1 = h*(2-h) (symmetric), i2 = (1-h)*(1-0.5*h). Pad lanes
+            # give h = 1 -> i1 = 1, nullified by v == 0 on pads.
+            h = _decode_h_int(pk32, k)
+            i1 = h * (2.0 - h)
+            i2 = (1.0 - h) * (1.0 - 0.5 * h)
         else:
             g, m = _decode_k(pk32, k)
-        i1 = g * (2.0 - g)          # 1 where genotype == 1
-        i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
+            i1 = g * (2.0 - g)          # 1 where genotype == 1
+            i2 = g * (g - 1.0) * 0.5    # 1 where genotype == 2
         v = v_ref[k:k + 1, :]       # (1, TB) row — broadcasts over W
         # VPU lane reductions (see module docstring)
         a = jnp.sum(i1 * v, axis=1, keepdims=True)
@@ -381,7 +391,9 @@ def _stats_mt_kernel(T: int, complete: bool, pk_ref, eps_ref, s1_ref,
     s2 = [None] * T
     for k in range(4):
         if complete:
-            g = _decode_g_int(pk32, k)   # pads -> 1, nulled by eps == 0
+            # h-decode (one op fewer); wrapper reconstructs
+            # s1 = 2*sum(eps_t) - hs1. Pads nulled by eps == 0.
+            g = _decode_h_int(pk32, k)
             m = None
         else:
             g, m = _decode_k(pk32, k)
@@ -440,6 +452,11 @@ def window_stats_mt(packed: jax.Array, eps_t: jax.Array, n_traits: int,
         out_shape=[sds((W, T)), sds((W, T))],
         interpret=interpret,
     )(packed, eps_t)
+    if complete:
+        # kernel accumulated hs1 (h-decode); reconstruct per trait using
+        # sum(eps_t) (zero on pad lanes and NaN-masked entries)
+        sums = jnp.sum(eps_t.reshape(4, T, NB), axis=(0, 2))    # (T,)
+        s1 = 2.0 * sums[None, :] - s1
     return s1, (None if complete else s2)
 
 
@@ -451,15 +468,19 @@ def _axpy_mt_kernel(T: int, complete: bool, pk_ref, c1_ref, c2_ref,
         hi = c.astype(jnp.bfloat16).astype(f32)
         return hi, c - hi
     c1h, c1l = split(c1_ref[:, :])            # (T, W)
-    if not complete:
+    if complete:
+        two_c1s = 2.0 * jnp.sum(c1_ref[:, :], axis=1, keepdims=True)  # (T,1)
+    else:
         c2h, c2l = split(c2_ref[:, :])
     for k in range(4):
         if complete:
             # complete data: the c2 term is the per-trait scalar sum(c2),
-            # added (and trait-masked) by the caller
-            g = _decode_g_int(pk32, k)
-            contrib = (jnp.dot(c1h, g, preferred_element_type=f32)
-                       + jnp.dot(c1l, g, preferred_element_type=f32))
+            # added (and trait-masked) by the caller. h-decode:
+            # sum c1*g = 2*rowsum(c1) - sum c1*h
+            h = _decode_h_int(pk32, k)
+            contrib = (two_c1s
+                       - jnp.dot(c1h, h, preferred_element_type=f32)
+                       - jnp.dot(c1l, h, preferred_element_type=f32))
         else:
             g, m = _decode_k(pk32, k)
             # true (T, W) x (W, TB) matmuls — T rows ride the same MXU

@@ -109,8 +109,13 @@ def test_window_stats_complete_fast_path():
                                        exact=False, interpret=True,
                                        complete=True)
     assert s2_fast is None
-    np.testing.assert_allclose(np.asarray(s1_fast), np.asarray(s1_full),
-                               rtol=1e-6)
+    # the fast path reconstructs s1 = 2*sum(eps) - sum(h*eps) (h-decode),
+    # so compare both paths against the f64 golden dot instead of each
+    # other — accumulation orders differ at f32 rounding level
+    s1_gold = np.asarray(A).astype(np.float64) @ np.asarray(eps).astype(np.float64)
+    scale = np.maximum(np.abs(s1_gold), 1.0)
+    assert np.max(np.abs(np.asarray(s1_fast) - s1_gold) / scale) < 5e-5
+    assert np.max(np.abs(np.asarray(s1_full) - s1_gold) / scale) < 5e-5
     np.testing.assert_allclose(float(jnp.sum(eps)) * np.ones(16),
                                np.asarray(s2_full), rtol=1e-5)
 
@@ -216,8 +221,14 @@ def test_window_stats_mt_complete_fast_path():
     s1_fast, s2_fast = window_stats_mt(packed, deinterleave_mt(eps), T,
                                        interpret=True, complete=True)
     assert s2_fast is None
-    np.testing.assert_allclose(np.asarray(s1_fast), np.asarray(s1_full),
-                               rtol=1e-6)
+    # h-decode changes the f32 accumulation order — compare both paths to
+    # the f64 golden dot instead of each other
+    A, _ = decode_planes(packed, jnp.float32)
+    gold = (np.asarray(A).astype(np.float64)
+            @ np.asarray(eps).astype(np.float64))
+    scale = np.maximum(np.abs(gold), 1.0)
+    assert np.max(np.abs(np.asarray(s1_fast) - gold) / scale) < 5e-5
+    assert np.max(np.abs(np.asarray(s1_full) - gold) / scale) < 5e-5
     # caller-side s2: per-trait residual sum broadcasts over markers
     np.testing.assert_allclose(
         np.broadcast_to(np.asarray(jnp.sum(eps, axis=0))[None, :], (16, T)),
