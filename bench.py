@@ -286,6 +286,7 @@ def main():
     ap.add_argument("--exact", action="store_true")
     ap.add_argument("--cache-planes", dest="plane_cache", default="auto",
                     choices=["auto", "on", "off"])
+    ap.add_argument("--mega", default="auto", choices=["auto", "on", "off"])
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--model", choices=["bayesrrm", "bayesw", "mt"],
                     default="bayesrrm")
@@ -321,10 +322,13 @@ def main():
     mesh = make_mesh(1)
     t0 = time.time()
     sampler = BayesRRm(ds, window=args.window, exact=args.exact,
-                       seed=11, mesh=mesh, plane_cache=args.plane_cache)
+                       seed=11, mesh=mesh, plane_cache=args.plane_cache,
+                       mega=args.mega)
     if sampler.cfg.use_planes:
         print("# plane cache: ON (int8 decoded planes resident in HBM)",
               file=sys.stderr, flush=True)
+    if sampler.cfg.use_mega:
+        print("# whole-sweep mega-kernel: ON", file=sys.stderr, flush=True)
     state = sampler.init_state()
     print(f"# setup: layout+device_put in {time.time() - t0:.1f} s",
           file=sys.stderr, flush=True)

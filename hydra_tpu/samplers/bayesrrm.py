@@ -655,7 +655,8 @@ class BayesRRm:
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
                  n_ind: int = 1, n_dcn: int = 1,
                  fh_params: Optional[dict] = None,
-                 dtype: str = "float32", plane_cache: str = "auto"):
+                 dtype: str = "float32", plane_cache: str = "auto",
+                 mega: str = "auto"):
         if dtype == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "--dtype float64 requires x64 mode "
@@ -678,9 +679,12 @@ class BayesRRm:
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         complete = bool(np.asarray(geno.nm).sum() == 0)
         tpu_f32 = jax.default_backend() == "tpu" and dtype == "float32"
-        use_mega = (tpu_f32 and window >= 8 and not exact
-                    and geno.n_pad <= 16384
-                    and n_dev == 1 and n_ind == 1 and n_dcn == 1)
+        # mega="on" forces the whole-sweep kernel beyond the auto N-gate
+        # (still single-shard stale only); "off" disables it
+        mega_ok = (tpu_f32 and window >= 8 and not exact
+                   and n_dev == 1 and n_ind == 1 and n_dcn == 1)
+        use_mega = (mega_ok and mega != "off"
+                    and (mega == "on" or geno.n_pad <= 16384))
         # cached int8 decoded planes (ops/planes.py): stale complete-data
         # windows on wide-N problems whose planes fit the HBM budget — the
         # in-kernel 2-bit decode (the measured sweep bound at N >= 50K)

@@ -34,4 +34,13 @@ timeout 2400 python -u bench.py --skip-baseline --m 100000 --n 50000 \
     --window 256 --iters 60 --cache-planes on >> "$OUT" 2>&1
 log "7 bench BayesW"
 timeout 1500 python -u bench.py --skip-baseline --model bayesw >> "$OUT" 2>&1
+log "8a bench 10Kx50K mega forced"
+timeout 1800 python -u bench.py --skip-baseline --m 10000 --n 50000 \
+    --window 256 --mega on >> "$OUT" 2>&1
+log "8b bench 100Kx50K mega forced"
+timeout 2400 python -u bench.py --skip-baseline --m 100000 --n 50000 \
+    --window 256 --iters 60 --mega on >> "$OUT" 2>&1
+log "9 bench mt"
+timeout 1800 python -u bench.py --skip-baseline --model mt --m 10000 \
+    --n 50000 --window 256 >> "$OUT" 2>&1
 log "done"
