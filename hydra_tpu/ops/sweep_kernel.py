@@ -163,17 +163,19 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
             # MXU vecmat of window_kernels._axpy_kernel — the VPU sublane
             # reduction measured ~20% slower per window at NB=12544
             c1r = jnp.transpose(c1)                   # (1, W)
-            c2r = jnp.transpose(c2)
             c1h = c1r.astype(jnp.bfloat16).astype(f32)
-            c2h = c2r.astype(jnp.bfloat16).astype(f32)
             c_s[0:1, :] = c1h
             c_s[1:2, :] = c1r - c1h
-            c_s[2:3, :] = c2h
-            c_s[3:4, :] = c2r - c2h
-            csum_s[0:1, 0:1] = jnp.sum(c2).reshape(1, 1)
-            # 2*sum(c1) + sum(c2): the constant term of the h-decode axpy
-            csum_s[0:1, 1:2] = (2.0 * jnp.sum(c1)
-                                + jnp.sum(c2)).reshape(1, 1)
+            if complete:
+                # the c2 rows degenerate to the scalar constant term of
+                # the h-decode axpy: 2*sum(c1) + sum(c2)
+                csum_s[0:1, 0:1] = (2.0 * jnp.sum(c1)
+                                    + jnp.sum(c2)).reshape(1, 1)
+            else:
+                c2r = jnp.transpose(c2)
+                c2h = c2r.astype(jnp.bfloat16).astype(f32)
+                c_s[2:3, :] = c2h
+                c_s[3:4, :] = c2r - c2h
             out_ref[:, 0:1] = bnew
             out_ref[:, 1:2] = compf
             out_ref[:, 2:3] = acum
@@ -183,14 +185,15 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
     def _axpy():
         c1h = c_s[0:1, :]                      # (1, W) bf16-exact rows
         c1l = c_s[1:2, :]
-        c2h = c_s[2:3, :]
-        c2l = c_s[3:4, :]
+        if not complete:
+            c2h = c_s[2:3, :]
+            c2l = c_s[3:4, :]
         for k in range(4):
             if complete:
                 # h-decode: sum c1*g = 2*sum(c1) - sum c1*h; the constant
-                # (incl. the c2 term) was precomputed into csum_s[0, 1]
+                # (incl. the c2 term) was precomputed into csum_s[0, 0]
                 h = _decode_h_int(pk32, k)
-                d = (csum_s[0:1, 1:2]
+                d = (csum_s[0:1, 0:1]
                      - jnp.dot(c1h, h, preferred_element_type=f32)
                      - jnp.dot(c1l, h, preferred_element_type=f32))
                 d = d * mask_ref[t, k:k + 1, :]
@@ -266,7 +269,7 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pltpu.VMEM((W, 1), f32),    # s1
             pltpu.VMEM((W, 1), f32),    # s2 / eps-sum
             pltpu.VMEM((4, W), f32),    # axpy coeff rows [c1h, c1l, c2h, c2l]
-            pltpu.VMEM((1, 2), f32),    # [sum(c2), 2*sum(c1)+sum(c2)]
+            pltpu.VMEM((1, 1), f32),    # 2*sum(c1)+sum(c2) (complete mode)
         ],
     )
     out, eps_out = pl.pallas_call(

@@ -254,17 +254,18 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             c1 = dbeta * inv_sd
             c2 = -c1 * mave
             c1r = jnp.transpose(c1)                # (1, W)
-            c2r = jnp.transpose(c2)
             c1h = c1r.astype(jnp.bfloat16).astype(f32)
-            c2h = c2r.astype(jnp.bfloat16).astype(f32)
             c_s[0:1, :] = c1h
             c_s[1:2, :] = c1r - c1h
-            c_s[2:3, :] = c2h
-            c_s[3:4, :] = c2r - c2h
-            csum_s[0:1, 0:1] = jnp.sum(c2).reshape(1, 1)
-            # 2*sum(c1) + sum(c2): constant term of the h-decode axpy
-            csum_s[0:1, 1:2] = (2.0 * jnp.sum(c1)
-                                + jnp.sum(c2)).reshape(1, 1)
+            if complete:
+                # 2*sum(c1) + sum(c2): constant term of the h-decode axpy
+                csum_s[0:1, 0:1] = (2.0 * jnp.sum(c1)
+                                    + jnp.sum(c2)).reshape(1, 1)
+            else:
+                c2r = jnp.transpose(c2)
+                c2h = c2r.astype(jnp.bfloat16).astype(f32)
+                c_s[2:3, :] = c2h
+                c_s[3:4, :] = c2r - c2h
             out_ref[:, 0:1] = bnew
             out_ref[:, 1:2] = compf
             out_ref[:, 2:3] = dbeta
@@ -275,14 +276,15 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
         alpha = sc_ref[0, 0]
         c1h = c_s[0:1, :]
         c1l = c_s[1:2, :]
-        c2h = c_s[2:3, :]
-        c2l = c_s[3:4, :]
+        if not complete:
+            c2h = c_s[2:3, :]
+            c2l = c_s[3:4, :]
         for k in range(4):
             if complete:
                 # h-decode: sum c1*g = 2*sum(c1) - sum c1*h; constant term
-                # (incl. sum(c2)) precomputed into csum_s[0, 1]
+                # (incl. sum(c2)) precomputed into csum_s[0, 0]
                 h = _decode_h_int(pk32, k)
-                d = (csum_s[0:1, 1:2]
+                d = (csum_s[0:1, 0:1]
                      - jnp.dot(c1h, h, preferred_element_type=f32)
                      - jnp.dot(c1l, h, preferred_element_type=f32)
                      ) * mask_ref[t, k:k + 1, :]
@@ -369,7 +371,7 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
             pltpu.VMEM((W, 1), f32),           # mask dot
             pltpu.VMEM((1, 1), f32),           # total sum(vi)
             pltpu.VMEM((4, W), f32),           # axpy coeff rows
-            pltpu.VMEM((1, 2), f32),           # [sum(c2), 2*sum(c1)+sum(c2)]
+            pltpu.VMEM((1, 1), f32),           # 2*sum(c1)+sum(c2) (complete)
             pltpu.VMEM((n_tiles, 4, tb), f32),  # resident vi
         ],
     )

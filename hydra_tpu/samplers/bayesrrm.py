@@ -679,23 +679,25 @@ class BayesRRm:
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
         complete = bool(np.asarray(geno.nm).sum() == 0)
         tpu_f32 = jax.default_backend() == "tpu" and dtype == "float32"
+        # cached int8 decoded planes (ops/planes.py): stale complete-data
+        # windows whose PER-SHARD planes fit the HBM budget — the
+        # in-kernel 2-bit decode (the measured sweep bound at N >= 50K)
+        # is replaced by a widen, halving VPU ops at 4x the (non-
+        # bottleneck) HBM traffic. "auto" enables when m_loc x n_pad int8
+        # fits alongside the packed bytes on each chip; "on" forces it
+        # (and takes precedence over the mega auto-gate).
+        planes_bytes = m_loc * geno.n_pad          # per marker shard
+        planes_ok = (tpu_f32 and window >= 8 and not exact and complete
+                     and n_ind == 1 and plane_cache != "off")
+        forced_planes = planes_ok and plane_cache == "on"
         # mega="on" forces the whole-sweep kernel beyond the auto N-gate
         # (still single-shard stale only); "off" disables it
         mega_ok = (tpu_f32 and window >= 8 and not exact
                    and n_dev == 1 and n_ind == 1 and n_dcn == 1)
-        use_mega = (mega_ok and mega != "off"
+        use_mega = (mega_ok and mega != "off" and not forced_planes
                     and (mega == "on" or geno.n_pad <= 16384))
-        # cached int8 decoded planes (ops/planes.py): stale complete-data
-        # windows on wide-N problems whose planes fit the HBM budget — the
-        # in-kernel 2-bit decode (the measured sweep bound at N >= 50K)
-        # is replaced by a widen, halving VPU ops at 4x the (non-
-        # bottleneck) HBM traffic. "auto" enables when M_glob x n_pad
-        # int8 fits alongside the packed bytes; "on" forces it.
-        planes_bytes = m_loc * n_dev * geno.n_pad
-        use_planes = (tpu_f32 and window >= 8 and not exact and complete
-                      and n_ind == 1 and not use_mega
-                      and plane_cache != "off"
-                      and (plane_cache == "on"
+        use_planes = (planes_ok and not use_mega
+                      and (forced_planes
                            or planes_bytes <= PLANES_HBM_BUDGET))
         self.cfg = BayesRRmConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,

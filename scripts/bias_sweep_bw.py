@@ -111,4 +111,11 @@ def main():
 
 
 if __name__ == "__main__":
+    # default to CPU (the sitecustomize forces the flaky axon tunnel
+    # otherwise; per-step chains on the tunnel stall for minutes) —
+    # --device overrides inside main()
+    import jax
+
+    jax.config.update("jax_platforms",
+                      os.environ.get("BIAS_DEVICE", "cpu"))
     main()

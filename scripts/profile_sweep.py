@@ -120,8 +120,6 @@ def main():
         print(f"{name:20s} {ms:8.3f} ms/sweep", flush=True)
 
     # ---- A: full sampler (same construction as bench.py) ----
-    import sys
-    sys.path.insert(0, ".")
     from bench import make_problem
     from hydra_tpu.parallel.mesh import make_mesh
     from hydra_tpu.samplers.bayesrrm import BayesRRm
