@@ -59,18 +59,24 @@ def main():
     mrow = mrow.at[:, 0].set(0.6).at[:, 1].set(1.0).at[:, 3].set(0.5).at[:, 5].set(1.0)
     key = jax.random.PRNGKey(0)
 
-    # ---- B: bare kernel scan ----
-    @jax.jit
-    def kernel_only(eps0, packed):
-        def step(carry, _):
-            eps_d = carry
-            eps_new, out = sweep_stale(
-                packed, eps_d, mrow, jnp.float32(0.5), jnp.float32(float(N - 1)),
-                window=W, n_mix=K, complete=True,
-                ind_mask4=deinterleave(ind_mask))
-            return eps_new, jnp.sum(out[:, 0])
-        eps_fin, outs = jax.lax.scan(step, deinterleave(eps0), None, length=k)
-        return jnp.sum(eps_fin) + jnp.sum(outs)
+    # ---- B: bare kernel scan (at several window sizes: the W-scaling
+    # separates per-window fixed cost — grid steps, draw — from the
+    # W-independent per-byte decode/compute cost) ----
+    def make_kernel_only(w):
+        @jax.jit
+        def kernel_only(eps0, packed):
+            def step(carry, _):
+                eps_d = carry
+                eps_new, out = sweep_stale(
+                    packed, eps_d, mrow, jnp.float32(0.5),
+                    jnp.float32(float(N - 1)), window=w, n_mix=K,
+                    complete=True, ind_mask4=deinterleave(ind_mask))
+                return eps_new, jnp.sum(out[:, 0])
+            eps_fin, outs = jax.lax.scan(step, deinterleave(eps0), None,
+                                         length=k)
+            return jnp.sum(eps_fin) + jnp.sum(outs)
+        return kernel_only
+    kernel_only = make_kernel_only(W)
 
     # ---- C1: shuffle-gather glue only ----
     @jax.jit
@@ -111,11 +117,16 @@ def main():
         return jnp.sum(b) + jnp.sum(c)
 
     print(f"# config M={M} N={N} W={W} k={k} backend={jax.default_backend()}")
-    for name, fn, fargs in [
-            ("B kernel-only", kernel_only, (eps, packed)),
-            ("C1 shuffle-gather", gather_only, (eps, packed)),
-            ("C2 per-marker RNG", rng_only, (eps,)),
-            ("C3 scatter+segsum", scatter_only, (eps,))]:
+    runs = [("B kernel-only", kernel_only, (eps, packed))]
+    for w2 in (128, 256):
+        if w2 != W and M % w2 == 0:
+            runs.append((f"B kernel W={w2}", make_kernel_only(w2),
+                         (eps, packed)))
+    runs += [
+        ("C1 shuffle-gather", gather_only, (eps, packed)),
+        ("C2 per-marker RNG", rng_only, (eps,)),
+        ("C3 scatter+segsum", scatter_only, (eps,))]
+    for name, fn, fargs in runs:
         ms = timeit(fn, *fargs, k=k)
         print(f"{name:20s} {ms:8.3f} ms/sweep", flush=True)
 
