@@ -699,6 +699,10 @@ class BayesRRm:
         use_planes = (planes_ok and not use_mega
                       and (forced_planes
                            or planes_bytes <= PLANES_HBM_BUDGET))
+        if plane_cache == "on" and not use_planes:
+            print("INFO   : --cache-planes on ignored (needs TPU backend, "
+                  "float32, stale windows >= 8, complete data, no "
+                  "ind-sharding)", flush=True)
         self.cfg = BayesRRmConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
             n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
