@@ -62,26 +62,28 @@ def test_axpy_planes_kernel():
     np.testing.assert_allclose(d[0], ref, rtol=1e-5, atol=1e-6)
 
 
-def _planes_sampler(ds, window, seed, n_shards=1):
+def _planes_sampler(ds, window, seed, n_shards=1, n_dcn=1):
+    from hydra_tpu.parallel.mesh import marker_axes
+
     s = BayesRRm(ds, window=window, exact=False, seed=seed,
-                 mesh=make_mesh(n_shards))
+                 mesh=make_mesh(n_shards, n_dcn=n_dcn), n_dcn=n_dcn)
     assert s.cfg.complete, "planes path is complete-data only"
     s.cfg = dataclasses.replace(s.cfg, use_planes=True, use_mega=False,
                                 interpret=True)
     packed_g = np.asarray(jax.device_get(s.packed))
     s.planes = jax.device_put(
         build_planes_host(packed_g),
-        NamedSharding(s.mesh, P("markers", None)))
+        NamedSharding(s.mesh, P(marker_axes(n_dcn), None)))
     s._step = s._build_step()
     s._multi = {}
     return s
 
 
-def _compare(ds, window, seed=7, iters=3, n_shards=1):
+def _compare(ds, window, seed=7, iters=3, n_shards=1, n_dcn=1):
     ref = BayesRRm(ds, window=window, exact=False, seed=seed,
-                   mesh=make_mesh(n_shards))
+                   mesh=make_mesh(n_shards, n_dcn=n_dcn), n_dcn=n_dcn)
     assert not ref.cfg.use_planes       # CPU backend: XLA path
-    pls = _planes_sampler(ds, window, seed, n_shards)
+    pls = _planes_sampler(ds, window, seed, n_shards, n_dcn)
     sr = ref.init_state()
     sp = pls.init_state()
     for it in range(iters):
@@ -107,3 +109,9 @@ def test_planes_matches_window_path():
 def test_planes_matches_window_path_sharded():
     ds, _, _ = simulate(m=256, n=300, h2=0.5, seed=6)
     _compare(ds, window=16, n_shards=4)
+
+
+def test_planes_matches_window_path_dcn():
+    # hierarchical (dcn, markers) mesh: planes rows shard over both axes
+    ds, _, _ = simulate(m=256, n=300, h2=0.5, seed=8)
+    _compare(ds, window=16, n_shards=4, n_dcn=2)
