@@ -1,0 +1,264 @@
+"""Multi-trait whole-sweep mega-kernel: every stale window in ONE pallas_call.
+
+The multi-trait per-window path (ops/window_kernels.py mt kernels) pays the
+same fixed glue per window as single-trait — two kernel launches, the XLA
+component/beta draw, a residual HBM round trip — multiplied by none of the
+trait axis (traits ride the lane dimension). This kernel fuses the whole
+sweep exactly like ops/sweep_kernel.py, with the (4T, NB) plane-major
+multi-trait residual resident in the output VMEM buffer:
+
+  grid = (n_windows, 2 phases, n_tiles)
+    phase 0 (stats): accumulate per-trait dots s1 (W, T) over byte tiles
+      (h-decode, complete mode reconstructs s1 = 2*sum(eps_t) - hs1); at
+      the last tile run the per-(marker, trait) component/beta draw of
+      samplers/bayesrrm_mt.py::window_body entirely in VMEM;
+    phase 1 (axpy): decode again and apply the residual update as a true
+      (T, W) x (W, tb) MXU matmul per plane, trait-masked in place.
+
+Everything per-(marker, trait) is precomputed by the sampler into a
+(m_loc, mt_mrow_width(K, T)) row array in shuffled order — K-blocks of T
+columns so the in-kernel draw slices (W, T) arrays directly.
+
+Scope: stale windows on a single marker shard (n_dev == n_ind == n_dcn ==
+1). Semantics are identical to the per-window mt path
+(tests/test_sweep_kernel_mt.py asserts chain equality).
+
+Reference behavior: BayesRRm_mt.cpp:290-1426 (present-but-disabled in the
+reference; see samplers/bayesrrm_mt.py module docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hydra_tpu.ops.window_kernels import _auto_tile, _decode_h_int, _decode_k
+
+f32 = jnp.float32
+
+# mrow column layout (T traits, K mixtures incl. zero; all blocks T wide):
+#   0    mave, T mstd, 2T bold, 3T u, 4T nrm, 5T act
+#   6T                logl_static, K blocks of T (j = 0..K-1)
+#   6T + K*T          inv_denomk, K-1 blocks of T
+#   6T + (2K-1)*T     sd_k, K-1 blocks of T
+N_FIXED_BLOCKS = 6
+
+
+def mt_mrow_width(k: int, t: int) -> int:
+    return t * (N_FIXED_BLOCKS + 3 * k - 2)
+
+
+def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
+                     pk_ref, mrow_ref, eps_in_ref, tm_ref, sc_ref,
+                     out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):
+    w = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    km1 = K - 1
+
+    @pl.when((w == 0) & (ph == 0))
+    def _():
+        eps_ref[t] = eps_in_ref[t]
+
+    pk32 = pk_ref[:, :].astype(jnp.int32)      # (W, tb)
+
+    @pl.when(ph == 0)
+    def _stats():
+        @pl.when(t == 0)
+        def _():
+            s1_s[:, :] = jnp.zeros_like(s1_s)
+            s2_s[:, :] = jnp.zeros_like(s2_s)
+
+        et = eps_ref[t]                        # (4T, tb)
+        s1 = [None] * T
+        s2 = [None] * T
+        for k in range(4):
+            if complete:
+                g = _decode_h_int(pk32, k)     # h-decode (see module doc)
+                m = None
+            else:
+                g, m = _decode_k(pk32, k)
+            for tt in range(T):
+                e = et[k * T + tt: k * T + tt + 1, :]      # (1, tb)
+                a = jnp.sum(g * e, axis=1, keepdims=True)  # (W, 1)
+                s1[tt] = a if s1[tt] is None else s1[tt] + a
+                if complete:
+                    b = jnp.sum(e).reshape(1, 1)
+                    s2[tt] = b if s2[tt] is None else s2[tt] + b
+                else:
+                    b = jnp.sum(m * e, axis=1, keepdims=True)
+                    s2[tt] = b if s2[tt] is None else s2[tt] + b
+        for tt in range(T):
+            s1_s[:, tt:tt + 1] += s1[tt]
+            if complete:
+                s2_s[0:1, tt:tt + 1] += s2[tt]
+            else:
+                s2_s[:, tt:tt + 1] += s2[tt]
+
+        # ---- per-(marker, trait) draw on the last tile ----
+        @pl.when(t == n_tiles - 1)
+        def _draw():
+            i2se = sc_ref[0:1, :]              # (1, T)
+            dNm1 = sc_ref[1:2, :]              # (1, T)
+            mave = mrow_ref[:, 0:T]
+            mstd = mrow_ref[:, T:2 * T]
+            bold = mrow_ref[:, 2 * T:3 * T]
+            u = mrow_ref[:, 3 * T:4 * T]
+            nrm = mrow_ref[:, 4 * T:5 * T]
+            act = mrow_ref[:, 5 * T:6 * T]
+            if complete:
+                s2v = s2_s[0:1, :]             # (1, T) broadcasts over W
+                s1v = 2.0 * s2v - s1_s[:, :]   # h-decode reconstruction
+            else:
+                s2v = s2_s[:, :]
+                s1v = s1_s[:, :]
+            num0 = mstd * (s1v - mave * s2v) + bold * dNm1     # (W, T)
+
+            bl, bi, bs = (6 * T, (6 + K) * T, (6 + 2 * K - 1) * T)
+            logls = [mrow_ref[:, bl:bl + T]]
+            muks = []
+            for j in range(km1):
+                muk = num0 * mrow_ref[:, bi + j * T:bi + (j + 1) * T]
+                muks.append(muk)
+                logls.append(mrow_ref[:, bl + (j + 1) * T:bl + (j + 2) * T]
+                             + muk * num0 * i2se)
+            mx = logls[0]
+            for l in logls[1:]:
+                mx = jnp.maximum(mx, l)
+            prs = [jnp.exp(l - mx) for l in logls]
+            sm = prs[0]
+            for p in prs[1:]:
+                sm = sm + p
+            probs = [p / sm for p in prs]
+            cum = probs[0]
+            compf = jnp.where(u > cum, 1.0, 0.0)
+            for j in range(1, km1):
+                cum = cum + probs[j]
+                compf = compf + jnp.where(u > cum, 1.0, 0.0)
+            bnz = jnp.zeros_like(num0)
+            for j in range(km1):
+                sel = jnp.where(compf == float(j + 1), 1.0, 0.0)
+                bnz = bnz + sel * (
+                    muks[j] + nrm * mrow_ref[:, bs + j * T:bs + (j + 1) * T])
+            pos = jnp.where(compf > 0.0, 1.0, 0.0)
+            bnew = bnz * pos * act
+            compf = compf * act
+            # scaled residual coefficients (window_body: dbeta includes mstd)
+            c1 = (bold - bnew) * mstd                          # (W, T)
+            c2 = -c1 * mave
+            c1r = jnp.transpose(c1)                            # (T, W)
+            c1h = c1r.astype(jnp.bfloat16).astype(f32)
+            c_s[0:T, :] = c1h
+            c_s[T:2 * T, :] = c1r - c1h
+            if complete:
+                # per-trait constant term of the h-decode axpy:
+                # 2*sum(c1) + sum(c2), stored as a (T, 1) column
+                colsum = 2.0 * jnp.sum(c1, axis=0, keepdims=True) \
+                    + jnp.sum(c2, axis=0, keepdims=True)       # (1, T)
+                csum_s[:, :] = jnp.transpose(colsum)           # (T, 1)
+            else:
+                c2r = jnp.transpose(c2)
+                c2h = c2r.astype(jnp.bfloat16).astype(f32)
+                c_s[2 * T:3 * T, :] = c2h
+                c_s[3 * T:4 * T, :] = c2r - c2h
+            out_ref[:, 0:T] = bnew
+            out_ref[:, T:2 * T] = compf
+
+    @pl.when(ph == 1)
+    def _axpy():
+        c1h = c_s[0:T, :]                      # (T, W)
+        c1l = c_s[T:2 * T, :]
+        if not complete:
+            c2h = c_s[2 * T:3 * T, :]
+            c2l = c_s[3 * T:4 * T, :]
+        for k in range(4):
+            if complete:
+                h = _decode_h_int(pk32, k)
+                d = (csum_s[:, :]
+                     - jnp.dot(c1h, h, preferred_element_type=f32)
+                     - jnp.dot(c1l, h, preferred_element_type=f32))
+            else:
+                g, m = _decode_k(pk32, k)
+                d = (jnp.dot(c1h, g, preferred_element_type=f32)
+                     + jnp.dot(c1l, g, preferred_element_type=f32)
+                     + jnp.dot(c2h, m, preferred_element_type=f32)
+                     + jnp.dot(c2l, m, preferred_element_type=f32))
+            # trait-mask rows zero NaN-masked individuals AND pad lanes
+            d = d * tm_ref[t, k * T:(k + 1) * T, :]
+            eps_ref[t, k * T:(k + 1) * T, :] += d
+
+
+def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
+                   mrow: jax.Array, i_2se: jax.Array, dNm1: jax.Array, *,
+                   window: int, n_mix: int, n_traits: int, complete: bool,
+                   tile_bytes: int = 0, vma=None, interpret: bool = False
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Run a full multi-trait stale-window sweep in one kernel launch.
+
+    pk_shuf: (m_loc, NB) uint8 in SHUFFLED marker order; eps_t / tm_t:
+    (4T, NB) plane-major multi-trait residual / trait mask
+    (deinterleave_mt); mrow: (m_loc, mt_mrow_width(K, T)) rows in the same
+    order; i_2se / dNm1: (T,) per-trait scalars.
+
+    Returns (eps_t', out) with out columns [bnew (T), compf (T)] per
+    shuffled marker.
+    """
+    m_loc, NB = pk_shuf.shape
+    T = n_traits
+    assert mrow.shape[1] == mt_mrow_width(n_mix, T), (mrow.shape, n_mix, T)
+    assert m_loc % window == 0, (m_loc, window)
+    W = window
+    n_windows = m_loc // W
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
+    n_tiles = NB // tb
+    C = mrow.shape[1]
+
+    eps_r = eps_t.reshape(4 * T, n_tiles, tb).transpose(1, 0, 2)
+    tm_r = tm_t.reshape(4 * T, n_tiles, tb).transpose(1, 0, 2)
+    sc = jnp.stack([i_2se.astype(f32), dNm1.astype(f32)])     # (2, T)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_windows, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, C), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, T), lambda w, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, 2 * T), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, T), f32),        # s1 (hs1 in complete mode)
+            pltpu.VMEM((W, T), f32),        # s2 / per-trait eps sums
+            pltpu.VMEM((4 * T, W), f32),    # axpy coeff rows
+            pltpu.VMEM((T, 1), f32),        # h-decode constant per trait
+        ],
+    )
+    out, eps_out = pl.pallas_call(
+        functools.partial(_sweep_mt_kernel, n_mix, T, n_tiles, complete),
+        grid_spec=grid_spec,
+        out_shape=[sds((m_loc, 2 * T)), sds((n_tiles, 4 * T, tb))],
+        interpret=interpret,
+    )(pk_shuf, mrow, eps_r, tm_r, sc)
+    eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
+    return eps_new, out

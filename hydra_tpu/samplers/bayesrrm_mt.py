@@ -63,6 +63,8 @@ class MtConfig:
     n_dcn: int = 1
     shuffle: bool = True
     use_pallas: bool = False   # fused multi-trait window kernels (TPU)
+    use_mega: bool = False     # whole-sweep mt mega-kernel (single shard)
+    interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes (fast kernels)
 
     @property
@@ -247,17 +249,77 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((T, cfg.num_groups, cfg.k), f32), ma, to="varying")
-    if cfg.use_pallas:
-        from hydra_tpu.ops.window_kernels import deinterleave_mt, interleave_mt
+    if cfg.use_mega:
+        # ---- whole-sweep mt mega-kernel (ops/sweep_kernel_mt.py) ----
+        # identical math to window_body, one launch per sweep with the
+        # (4T, NB) residual resident in VMEM (see BayesRRm's mega path)
+        from hydra_tpu.ops.sweep_kernel_mt import (mt_mrow_width,
+                                                   sweep_stale_mt)
+        from hydra_tpu.ops.window_kernels import (deinterleave_mt,
+                                                  interleave_mt)
 
-        # residual rides the loop plane-major (4T, NB); transposed once per
-        # sweep, not once per window (see BayesRRm)
-        eps = deinterleave_mt(eps)
-        tm_t = deinterleave_mt(trait_mask)
-    eps, beta, comps, cass = jax.lax.fori_loop(
-        0, cfg.n_windows, window_body, (eps, beta, comps, cass0))
-    if cfg.use_pallas:
-        eps = interleave_mt(eps, T)
+        pk_shuf = jnp.take(packed, perm, axis=0)
+        mave_s = jnp.take(mave, perm, axis=0)          # (m, T)
+        mstd_s = jnp.take(mstd, perm, axis=0)
+        grp_s = jnp.take(groups, perm)
+        act_s = jnp.take(act_mt, perm, axis=0).astype(f32)
+        bold_s = jnp.take(beta, perm, axis=0)
+        u_s = jnp.take(u_loc, perm, axis=0)
+        n_s = jnp.take(n_loc, perm, axis=0)
+        sig_g_s = jnp.transpose(sigma_g, (1, 0))[grp_s]        # (m, T)
+        cva_s = cva[grp_s][:, None, 1:]                        # (m, 1, km1)
+        cvai_s = cvai[grp_s][:, None, 1:]
+        log_pi_s = jnp.log(jnp.maximum(
+            jnp.transpose(est_pi, (1, 0, 2))[grp_s], tiny))    # (m, T, K)
+        safe_g = jnp.maximum(sig_g_s, tiny)[:, :, None]
+        denomk = dNm1[None, :, None] + (sigma_e[None, :, None] / safe_g) * cvai_s
+        inv_denomk = 1.0 / denomk                              # (m, T, km1)
+        sd_k = jnp.sqrt(sigma_e[None, :, None] * inv_denomk)
+        log_detk = jnp.log(
+            (sig_g_s[:, :, None] / sigma_e[None, :, None])
+            * dNm1[None, :, None] * cva_s + 1.0)
+        logl_static = jnp.concatenate(
+            [log_pi_s[:, :, :1], log_pi_s[:, :, 1:] - 0.5 * log_detk],
+            axis=2)                                            # (m, T, K)
+        mrow = jnp.concatenate(
+            [mave_s, mstd_s, bold_s, u_s, n_s, act_s]
+            + [logl_static[:, :, j] for j in range(cfg.k)]
+            + [inv_denomk[:, :, j] for j in range(km1)]
+            + [sd_k[:, :, j] for j in range(km1)], axis=1)
+        assert mrow.shape[1] == mt_mrow_width(cfg.k, T)
+
+        eps_new_t, out_m = sweep_stale_mt(
+            pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
+            mrow, i_2se, dNm1, window=W, n_mix=cfg.k, n_traits=T,
+            complete=cfg.complete, vma=vma_axes, interpret=cfg.interpret)
+        # identity on the single shard the mega is gated to, but marks the
+        # residual replicated again for shard_map's vma checker
+        eps = jax.lax.psum(interleave_mt(eps_new_t, T), ma)
+        bnew_s = out_m[:, :T]
+        comp_s = out_m[:, T:2 * T].astype(jnp.int32)
+        beta = beta.at[perm].set(bnew_s)
+        comps = comps.at[perm].set(comp_s)
+        flat = (grp_s[:, None] * cfg.k + comp_s).reshape(-1)
+        trait_ids = jnp.broadcast_to(
+            jnp.arange(T)[None, :], (cfg.m_loc, T)).reshape(-1)
+        full_idx = trait_ids * (cfg.num_groups * cfg.k) + flat
+        cass = cass0 + jax.ops.segment_sum(
+            act_s.reshape(-1), full_idx,
+            num_segments=T * cfg.num_groups * cfg.k
+        ).reshape(T, cfg.num_groups, cfg.k)
+    else:
+        if cfg.use_pallas:
+            from hydra_tpu.ops.window_kernels import (deinterleave_mt,
+                                                      interleave_mt)
+
+            # residual rides the loop plane-major (4T, NB); transposed once
+            # per sweep, not once per window (see BayesRRm)
+            eps = deinterleave_mt(eps)
+            tm_t = deinterleave_mt(trait_mask)
+        eps, beta, comps, cass = jax.lax.fori_loop(
+            0, cfg.n_windows, window_body, (eps, beta, comps, cass0))
+        if cfg.use_pallas:
+            eps = interleave_mt(eps, T)
 
     cass = jax.lax.psum(cass, ma)
     bsq = jax.vmap(lambda b: jax.ops.segment_sum(
@@ -322,6 +384,11 @@ class BayesRRmMT:
             n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
+            # whole-sweep mt mega-kernel: single marker shard; VMEM-gated
+            # (two resident (4T, NB) f32 buffers -> T * n_pad <= 256K)
+            use_mega=(jax.default_backend() == "tpu" and window >= 8
+                      and n_dev == 1 and n_ind == 1 and n_dcn == 1
+                      and T * geno.n_pad <= 262144),
             complete=bool(np.asarray(geno.nm).sum() == 0))
         cfg = self.cfg
 
