@@ -203,7 +203,9 @@ def run_mt_bench(ds, args, n_traits=4):
     rs = np.random.RandomState(7)
     ph = np.tile(ds.y, (n_traits, 1)) + rs.randn(n_traits, ds.n) * 0.3
     sampler = BayesRRmMT(ds, ph, window=args.window, seed=17,
-                         mesh=make_mesh(1))
+                         mesh=make_mesh(1), mega=args.mega)
+    if sampler.cfg.use_mega:
+        print("# mt whole-sweep mega-kernel: ON", file=sys.stderr, flush=True)
     state = sampler.init_state()
     k = max(1, min(args.iters, 10))
     state, _ = sampler.run_steps(state, 0, k)

@@ -359,7 +359,7 @@ class BayesRRmMT:
     def __init__(self, dataset: Dataset, phenos: np.ndarray, *,
                  window: int = 1, shuffle: bool = True, seed: int = 0,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1, n_dcn: int = 1):
+                 n_ind: int = 1, n_dcn: int = 1, mega: str = "auto"):
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, n_ind=n_ind, n_dcn=n_dcn)
@@ -385,10 +385,12 @@ class BayesRRmMT:
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
             # whole-sweep mt mega-kernel: single marker shard; VMEM-gated
-            # (two resident (4T, NB) f32 buffers -> T * n_pad <= 256K)
+            # (two resident (4T, NB) f32 buffers -> T * n_pad <= 256K);
+            # mega="on"/"off" overrides the auto N-gate like BayesRRm's
             use_mega=(jax.default_backend() == "tpu" and window >= 8
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1
-                      and T * geno.n_pad <= 262144),
+                      and mega != "off"
+                      and (mega == "on" or T * geno.n_pad <= 262144)),
             complete=bool(np.asarray(geno.nm).sum() == 0))
         cfg = self.cfg
 

@@ -40,7 +40,10 @@ timeout 1800 python -u bench.py --skip-baseline --m 10000 --n 50000 \
 log "8b bench 100Kx50K mega forced"
 timeout 2400 python -u bench.py --skip-baseline --m 100000 --n 50000 \
     --window 256 --iters 60 --mega on >> "$OUT" 2>&1
-log "9 bench mt"
+log "9a bench mt (mega auto)"
 timeout 1800 python -u bench.py --skip-baseline --model mt --m 10000 \
     --n 50000 --window 256 >> "$OUT" 2>&1
+log "9b bench mt (mega off)"
+timeout 1800 python -u bench.py --skip-baseline --model mt --m 10000 \
+    --n 50000 --window 256 --mega off >> "$OUT" 2>&1
 log "done"
