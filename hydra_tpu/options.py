@@ -93,6 +93,7 @@ class Options:
     dcn_slices: int = 1                  # multi-slice hierarchy: ("dcn","markers")
     dtype: str = "float32"               # accumulation dtype
     plane_cache: str = "auto"            # int8 decoded-plane cache (ops/planes.py)
+    mega: str = "auto"                   # whole-sweep mega-kernel gate override
 
     @property
     def mcmc_out(self) -> str:
@@ -237,6 +238,11 @@ def build_parser() -> argparse.ArgumentParser:
       help="cache int8 decoded genotype planes in HBM (stale complete-data "
            "runs): halves the per-genotype decode work when M x N fits; "
            "auto enables under a 9 GB budget")
+    a("--mega", dest="mega", default="auto",
+      choices=["auto", "on", "off"],
+      help="whole-sweep mega-kernel (single-shard stale runs): auto gates "
+           "on the VMEM-resident residual size; on forces it beyond the "
+           "N auto-gate, off disables")
     # Reference-compat flags. --raw-update selects a numerically identical
     # epsilon update formula in the reference's 1-rank path (BayesW.cpp:1812)
     # -> accepted no-op. The PPBayes/preprocess flags select the non-MPI
@@ -318,6 +324,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.dcn_slices = ns.dcn_slices
     opt.dtype = ns.dtype
     opt.plane_cache = ns.plane_cache
+    opt.mega = ns.mega
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
         raise SystemExit(
             "FATAL  : the PPBayes/preprocess path is not built in the "

@@ -113,7 +113,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     sampler = BayesRRmMT(ds, phenos, window=opt.window,
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
                          n_devices=opt.n_devices, n_ind=opt.ind_shards,
-                         n_dcn=opt.dcn_slices)
+                         n_dcn=opt.dcn_slices, mega=opt.mega)
     start_it = 0
     if rds is not None:
         import jax.numpy as jnp
@@ -237,6 +237,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
         shuffle=bool(opt.shuffle_markers), seed=opt.seed,
         n_devices=opt.n_devices, n_ind=opt.ind_shards,
         n_dcn=opt.dcn_slices, dtype=opt.dtype, plane_cache=opt.plane_cache,
+        mega=opt.mega,
         fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
                        s02c=opt.s02c, tau0=opt.tau0))
 
