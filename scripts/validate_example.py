@@ -22,7 +22,15 @@ def main():
     ap.add_argument("--burn", type=int, default=300)
     ap.add_argument("--window", type=int, default=32)
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--device", default="",
+                    help="jax platform override (e.g. cpu); the "
+                         "sitecustomize forces the axon TPU otherwise")
     args = ap.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     import glob
     bed = glob.glob(os.path.join(args.dir, "*.bed"))[0][:-4]
