@@ -61,7 +61,16 @@ def _lut() -> np.ndarray:
 
 
 def build_planes_host(packed: np.ndarray) -> np.ndarray:
-    """(M, NB) packed uint8 -> (M, 4*NB) int8 flat-deinterleaved planes."""
+    """(M, NB) packed uint8 -> (M, 4*NB) int8 flat-deinterleaved planes.
+
+    Uses the native OpenMP expander (native/bedio.cpp:bed_expand_planes)
+    when available — the NumPy LUT fallback is single-threaded fancy
+    indexing, ~10s at M=100K x N=50K."""
+    from hydra_tpu import native
+
+    out = native.bed_expand_planes(packed)
+    if out is not None:
+        return out
     lut = _lut()
     m, nb = packed.shape
     out = np.empty((m, 4 * nb), dtype=np.int8)
