@@ -516,7 +516,7 @@ class BayesW:
     def __init__(self, dataset: Dataset, *, window: int = 1,
                  shuffle: bool = True, seed: int = 0, quad_points: int = 25,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1, n_dcn: int = 1):
+                 n_ind: int = 1, n_dcn: int = 1, mega: str = "auto"):
         if dataset.fail is None:
             raise ValueError("BayesW requires failure indicators (--failure)")
         self.ds = dataset
@@ -551,7 +551,8 @@ class BayesW:
             # (3 resident (4, NB) f32 buffers), not crossover-bound.
             use_mega=(jax.default_backend() == "tpu" and window >= 8
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1
-                      and geno.n_pad <= 65536))
+                      and mega != "off"
+                      and (mega == "on" or geno.n_pad <= 65536)))
         cfg = self.cfg
 
         gh_x, gh_w = gh_table(cfg.quad_n)
