@@ -20,6 +20,9 @@ log "3 bench default W=64"
 timeout 1500 python -u bench.py --skip-baseline >> "$OUT" 2>&1
 log "4 bench default W=256"
 timeout 1500 python -u bench.py --skip-baseline --window 256 >> "$OUT" 2>&1
+log "4c bench exact mode (default config)"
+timeout 1500 python -u bench.py --skip-baseline --exact --window 64 \
+    --iters 60 >> "$OUT" 2>&1
 log "5a bench 10Kx50K planes off"
 timeout 1800 python -u bench.py --skip-baseline --m 10000 --n 50000 \
     --window 256 --cache-planes off >> "$OUT" 2>&1
