@@ -107,30 +107,36 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
             s2_s[:, :] += s2
 
         # ---- component + beta draw for the whole window (last tile) ----
+        # The draw runs entirely in (1, W) ROW layout: a (W, 1) column op
+        # spans ceil(W/8) vregs each using one lane (8x the instructions
+        # at W=64), and the row layout also kills the two per-window
+        # c1/c2 sublane->lane relayouts — only the accumulated s1/s2
+        # columns get transposed (one relayout per window instead of two).
         @pl.when(t == n_tiles - 1)
         def _sample():
             i2se = sc_ref[0, 0]
             dNm1 = sc_ref[0, 1]
-            mave = mrow_ref[:, 0:1]
-            mstd = mrow_ref[:, 1:2]
-            bold = mrow_ref[:, 2:3]
-            u = mrow_ref[:, 3:4]
-            nrm = mrow_ref[:, 4:5]
-            act = mrow_ref[:, 5:6]
-            s2v = s2_s[0:1, 0:1] if complete else s2_s[:, :]
+            mave = mrow_ref[0:1, :]
+            mstd = mrow_ref[1:2, :]
+            bold = mrow_ref[2:3, :]
+            u = mrow_ref[3:4, :]
+            nrm = mrow_ref[4:5, :]
+            act = mrow_ref[5:6, :]
             if complete:   # s1 = 2*sum(eps) - hs1 (h-decode, see _stats)
-                s1v = 2.0 * s2v - s1_s[:, :]
+                s2v = s2_s[0:1, 0:1]
+                s1v = 2.0 * s2v - jnp.transpose(s1_s[:, :])
             else:
-                s1v = s1_s[:, :]
-            num0 = mstd * (s1v - mave * s2v) + bold * dNm1  # (W,1)
+                s2v = jnp.transpose(s2_s[:, :])
+                s1v = jnp.transpose(s1_s[:, :])
+            num0 = mstd * (s1v - mave * s2v) + bold * dNm1  # (1, W)
 
             bl, bi, bs = N_FIXED, N_FIXED + K, N_FIXED + 2 * K - 1
-            logls = [mrow_ref[:, bl:bl + 1]]
+            logls = [mrow_ref[bl:bl + 1, :]]
             muks = []
             for j in range(km1):
-                muk = num0 * mrow_ref[:, bi + j:bi + j + 1]
+                muk = num0 * mrow_ref[bi + j:bi + j + 1, :]
                 muks.append(muk)
-                logls.append(mrow_ref[:, bl + 1 + j:bl + 2 + j]
+                logls.append(mrow_ref[bl + 1 + j:bl + 2 + j, :]
                              + muk * num0 * i2se)
             mx = logls[0]
             for l in logls[1:]:
@@ -150,36 +156,34 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
             for j in range(km1):
                 sel = jnp.where(compf == float(j + 1), 1.0, 0.0)
                 bnz = bnz + sel * (muks[j]
-                                   + nrm * mrow_ref[:, bs + j:bs + j + 1])
+                                   + nrm * mrow_ref[bs + j:bs + j + 1, :])
             pos = jnp.where(compf > 0.0, 1.0, 0.0)
             bnew = bnz * pos * act
             compf = compf * act
             acum = probs[0] * act + (1.0 - act)
             dbeta = bold - bnew
-            c1 = dbeta * mstd
-            c2 = -c1 * mave
-            # store the axpy coefficients as bf16 hi/lo ROWS (one sublane->
-            # lane transpose per window) so phase 1 can run the exact-f32
-            # MXU vecmat of window_kernels._axpy_kernel — the VPU sublane
+            # axpy coefficients as bf16 hi/lo ROWS for phase 1's exact-f32
+            # MXU vecmat (window_kernels._axpy_kernel) — the VPU sublane
             # reduction measured ~20% slower per window at NB=12544
-            c1r = jnp.transpose(c1)                   # (1, W)
-            c1h = c1r.astype(jnp.bfloat16).astype(f32)
+            c1 = dbeta * mstd                         # (1, W)
+            c2 = -c1 * mave
+            c1h = c1.astype(jnp.bfloat16).astype(f32)
             c_s[0:1, :] = c1h
-            c_s[1:2, :] = c1r - c1h
+            c_s[1:2, :] = c1 - c1h
             if complete:
                 # the c2 rows degenerate to the scalar constant term of
                 # the h-decode axpy: 2*sum(c1) + sum(c2)
                 csum_s[0:1, 0:1] = (2.0 * jnp.sum(c1)
                                     + jnp.sum(c2)).reshape(1, 1)
             else:
-                c2r = jnp.transpose(c2)
-                c2h = c2r.astype(jnp.bfloat16).astype(f32)
+                c2h = c2.astype(jnp.bfloat16).astype(f32)
                 c_s[2:3, :] = c2h
-                c_s[3:4, :] = c2r - c2h
-            out_ref[:, 0:1] = bnew
-            out_ref[:, 1:2] = compf
-            out_ref[:, 2:3] = acum
-            out_ref[:, 3:4] = dbeta
+                c_s[3:4, :] = c2 - c2h
+            out_ref[0:1, :] = bnew
+            out_ref[1:2, :] = compf
+            out_ref[2:3, :] = acum
+            out_ref[3:4, :] = dbeta
+            out_ref[4:8, :] = jnp.zeros_like(out_ref[4:8, :])  # pad rows
 
     @pl.when(ph == 1)
     def _axpy():
@@ -232,6 +236,16 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     n_tiles = NB // tb
     C = mrow.shape[1]
 
+    # Marker rows per window, TRANSPOSED: the kernel's draw consumes
+    # (1, W) coefficient ROWS (see _sample). Compiled Mosaic requires the
+    # block's last dim be 128-divisible OR equal to the array's, so the
+    # per-window (C, W) slabs are stacked along the SUBLANE dim — array
+    # (n_windows*C_pad, W), block (C_pad, W) at row-block w — making W the
+    # full last dim (any window width legal). C pads to a sublane tile.
+    c_pad = -(-C // 8) * 8
+    mrow_t = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
+    mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
+    mrow_t = mrow_t.reshape(n_windows * c_pad, W)
     eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
     if complete:
         mask_t = ind_mask4.reshape(4, n_tiles, tb).transpose(1, 0, 2)
@@ -251,7 +265,7 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         in_specs=[
             pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, C), lambda w, p, t: (w, 0),
+            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -260,7 +274,7 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((W, 4), lambda w, p, t: (w, 0),
+            pl.BlockSpec((8, W), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -275,8 +289,9 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     out, eps_out = pl.pallas_call(
         functools.partial(_sweep_kernel, n_mix, n_tiles, complete),
         grid_spec=grid_spec,
-        out_shape=[sds((m_loc, 4)), sds((n_tiles, 4, tb))],
+        out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow, eps_t, mask_t, sc)
+    )(pk_shuf, mrow_t, eps_t, mask_t, sc)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
-    return eps_new, out
+    out4 = out.reshape(n_windows, 8, W)[:, :4, :]   # (nw, 4, W) row slabs
+    return eps_new, out4.transpose(0, 2, 1).reshape(m_loc, 4)

@@ -135,31 +135,37 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             bvi_s[:, :] += bv
 
         # ---- whole-window draw on the last tile ----
+        # Runs entirely in (1, W) ROW layout: the 34-step slice sampler
+        # plus the GH loop issue ~1500 vector ops per window, and a (W, 1)
+        # column op costs ceil(W/8) vregs each using one lane (8x the
+        # instructions at W=64). Only the accumulated level-sum columns
+        # are transposed (3 relayouts/window, replacing the 2 c1/c2 ones);
+        # the GH quadrature runs as (QP, W) with a sublane reduction.
         @pl.when(t == n_tiles - 1)
         def _draw():
             alpha = sc_ref[0, 0]
-            mave = mrow_ref[:, 0:1]
-            inv_sd = mrow_ref[:, 1:2]
-            bold = mrow_ref[:, 2:3]
-            u = mrow_ref[:, 3:4]
-            act = mrow_ref[:, 4:5]
-            sf = mrow_ref[:, 5:6]
-            th0 = mrow_ref[:, 6:7]
-            th1 = mrow_ref[:, 7:8]
-            th2 = mrow_ref[:, 8:9]
+            mave = mrow_ref[0:1, :]
+            inv_sd = mrow_ref[1:2, :]
+            bold = mrow_ref[2:3, :]
+            u = mrow_ref[3:4, :]
+            act = mrow_ref[4:5, :]
+            sf = mrow_ref[5:6, :]
+            th0 = mrow_ref[6:7, :]
+            th1 = mrow_ref[7:8, :]
+            th2 = mrow_ref[8:9, :]
             s_all = sall_s[0:1, 0:1]
-            s1 = s1_s[:, :]
-            s2 = s2_s[:, :]
+            s1 = jnp.transpose(s1_s[:, :])         # (1, W)
+            s2 = jnp.transpose(s2_s[:, :])
             if complete:
                 sm = jnp.zeros_like(s1)            # mask dot == total
             else:
-                sm = s_all - bvi_s[:, :]
+                sm = s_all - jnp.transpose(bvi_s[:, :])
             s0 = s_all - s1 - s2 - sm
 
             # own-effect removal (tmp_vi recompute, BayesW.cpp:1499-1516)
-            vi1 = s1 * mrow_ref[:, 10:11]          # e1
-            vi2 = s2 * mrow_ref[:, 11:12]          # e2
-            vsum = s0 * mrow_ref[:, 9:10] + vi1 + vi2 + sm
+            vi1 = s1 * mrow_ref[10:11, :]          # e1
+            vi2 = s2 * mrow_ref[11:12, :]          # e2
+            vsum = s0 * mrow_ref[9:10, :] + vi1 + vi2 + sm
             vi0 = vsum - vi1 - vi2
 
             exp_sum = (vi1 * (1.0 - 2.0 * mave)
@@ -167,18 +173,18 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
                        + vsum * mave * mave) * inv_sd * inv_sd
 
             # adaptive Gauss-Hermite marginal likelihoods
-            # (BayesW.cpp:716-726); gh lanes beyond Q carry x=0, w=0 so
+            # (BayesW.cpp:716-726); gh sublanes beyond Q carry x=0, w=0 so
             # they contribute exactly zero
-            ghx = ghx_ref[0:1, :]                  # (1, QP)
-            ghw = ghw_ref[0:1, :]
+            ghx = ghx_ref[:, :]                    # (QP, 1)
+            ghw = ghw_ref[:, :]
             bp, bs, ba, bt, bl = (N_FIXED, N_FIXED + km1, N_FIXED + 2 * km1,
                                   N_FIXED + 3 * km1, N_FIXED + 4 * km1)
-            mls = [mrow_ref[:, 12:13]]             # ml0 = pi0 * sqrt(pi)
+            mls = [mrow_ref[12:13, :]]             # ml0 = pi0 * sqrt(pi)
             for j in range(km1):
                 sigma_ad = 1.0 / jnp.sqrt(
-                    1.0 + mrow_ref[:, ba + j:ba + j + 1] * exp_sum)  # (W,1)
-                s_nodes = sigma_ad * ghx                             # (W,QP)
-                sq = s_nodes * mrow_ref[:, bs + j:bs + j + 1]
+                    1.0 + mrow_ref[ba + j:ba + j + 1, :] * exp_sum)  # (1,W)
+                s_nodes = sigma_ad * ghx                             # (QP,W)
+                sq = s_nodes * mrow_ref[bs + j:bs + j + 1, :]
                 temp = (-alpha * sq * sf
                         - vi0 * _expm1(th0 * sq)
                         - vi1 * _expm1(th1 * sq)
@@ -186,9 +192,9 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
                         - s_nodes * s_nodes)
                 # sigma_ad = the adaptive substitution's Jacobian
                 # (reference returns sigma*temp, BayesW.cpp:711)
-                integral = sigma_ad * jnp.sum(ghw * jnp.exp(temp), axis=1,
-                                              keepdims=True)         # (W,1)
-                mls.append(mrow_ref[:, bp + j:bp + j + 1] * integral)
+                integral = sigma_ad * jnp.sum(ghw * jnp.exp(temp), axis=0,
+                                              keepdims=True)         # (1,W)
+                mls.append(mrow_ref[bp + j:bp + j + 1, :] * integral)
 
             sm_ml = mls[0]
             for mlj in mls[1:]:
@@ -208,8 +214,8 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             slim = jnp.zeros_like(compf)
             for j in range(km1):
                 sel = jnp.where(ksel == float(j), 1.0, 0.0)
-                two_ck_sg = two_ck_sg + sel * mrow_ref[:, bt + j:bt + j + 1]
-                slim = slim + sel * mrow_ref[:, bl + j:bl + j + 1]
+                two_ck_sg = two_ck_sg + sel * mrow_ref[bt + j:bt + j + 1, :]
+                slim = slim + sel * mrow_ref[bl + j:bl + j + 1, :]
 
             # ---- fixed-budget slice sampler on beta_dens ----
             # (BayesW.cpp:145-156 via utils/slice_sampler.py semantics)
@@ -224,8 +230,8 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             lower = bold - slim
             upper = bold + slim
             br = N_FIXED + 5 * km1
-            log_y = logf(bold) - mrow_ref[:, br:br + 1]          # le
-            left = bold - width * mrow_ref[:, br + 1:br + 2]     # u_br
+            log_y = logf(bold) - mrow_ref[br:br + 1, :]          # le
+            left = bold - width * mrow_ref[br + 1:br + 2, :]     # u_br
             right = left + width
             for _ in range(n_expand):
                 left = jnp.where((logf(left) > log_y) & (left > lower),
@@ -237,7 +243,7 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             x = bold
             accepted = jnp.zeros_like(bold)
             for s in range(n_shrink):
-                uu = mrow_ref[:, br + 2 + s:br + 3 + s]
+                uu = mrow_ref[br + 2 + s:br + 3 + s, :]
                 xc = left + uu * (right - left)
                 okf = jnp.where(logf(xc) > log_y, 1.0, 0.0)
                 take = okf * (1.0 - accepted)
@@ -251,25 +257,23 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
             bnew = jnp.where(draw > 0.0, x, 0.0)
 
             dbeta = bold - bnew
-            c1 = dbeta * inv_sd
+            c1 = dbeta * inv_sd                    # (1, W) rows already
             c2 = -c1 * mave
-            c1r = jnp.transpose(c1)                # (1, W)
-            c1h = c1r.astype(jnp.bfloat16).astype(f32)
+            c1h = c1.astype(jnp.bfloat16).astype(f32)
             c_s[0:1, :] = c1h
-            c_s[1:2, :] = c1r - c1h
+            c_s[1:2, :] = c1 - c1h
             if complete:
                 # 2*sum(c1) + sum(c2): constant term of the h-decode axpy
                 csum_s[0:1, 0:1] = (2.0 * jnp.sum(c1)
                                     + jnp.sum(c2)).reshape(1, 1)
             else:
-                c2r = jnp.transpose(c2)
-                c2h = c2r.astype(jnp.bfloat16).astype(f32)
+                c2h = c2.astype(jnp.bfloat16).astype(f32)
                 c_s[2:3, :] = c2h
-                c_s[3:4, :] = c2r - c2h
-            out_ref[:, 0:1] = bnew
-            out_ref[:, 1:2] = compf
-            out_ref[:, 2:3] = dbeta
-            out_ref[:, 3:4] = jnp.zeros_like(bnew)
+                c_s[3:4, :] = c2 - c2h
+            out_ref[0:1, :] = bnew
+            out_ref[1:2, :] = compf
+            out_ref[2:3, :] = dbeta
+            out_ref[3:8, :] = jnp.zeros_like(out_ref[3:8, :])  # pad rows
 
     @pl.when(ph == 1)
     def _axpy_refresh():
@@ -330,6 +334,18 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
     C = mrow.shape[1]
     QP = gh_x_pad.shape[1]
 
+    # Marker rows per window, TRANSPOSED (draw consumes (1, W) rows), and
+    # GH tables flipped to (QP, 1) columns for the (QP, W) node grids.
+    # Compiled Mosaic requires the block's last dim be 128-divisible OR
+    # equal to the array's, so the per-window (C, W) slabs stack along the
+    # SUBLANE dim — array (n_windows*C_pad, W), block (C_pad, W) at row-
+    # block w — making W the full last dim (any window width legal).
+    c_pad = -(-C // 8) * 8
+    mrow_t = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
+    mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
+    mrow_t = mrow_t.reshape(n_windows * c_pad, W)
+    ghx_c = jnp.transpose(gh_x_pad)                            # (QP, 1)
+    ghw_c = jnp.transpose(gh_w_pad)
     eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)   # (nt, 4, tb)
     vi_t = vi_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)
     mask_t = ind_mask4.reshape(4, n_tiles, tb).transpose(1, 0, 2)
@@ -345,7 +361,7 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
         in_specs=[
             pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, C), lambda w, p, t: (w, 0),
+            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -353,14 +369,14 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QP), lambda w, p, t: (0, 0),
+            pl.BlockSpec((QP, 1), lambda w, p, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QP), lambda w, p, t: (0, 0),
+            pl.BlockSpec((QP, 1), lambda w, p, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((W, 4), lambda w, p, t: (w, 0),
+            pl.BlockSpec((8, W), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -379,8 +395,9 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
         functools.partial(_sweep_bw_kernel, n_mix, n_tiles, n_expand,
                           n_shrink, complete),
         grid_spec=grid_spec,
-        out_shape=[sds((m_loc, 4)), sds((n_tiles, 4, tb))],
+        out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow, eps_t, vi_t, mask_t, gh_x_pad, gh_w_pad, sc)
+    )(pk_shuf, mrow_t, eps_t, vi_t, mask_t, ghx_c, ghw_c, sc)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
-    return eps_new, out
+    out4 = out.reshape(n_windows, 8, W)[:, :4, :]   # (nw, 4, W) row slabs
+    return eps_new, out4.transpose(0, 2, 1).reshape(m_loc, 4)

@@ -54,6 +54,7 @@ def mt_mrow_width(k: int, t: int) -> int:
 
 
 def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
+                     O_PAD: int,
                      pk_ref, mrow_ref, eps_in_ref, tm_ref, sc_ref,
                      out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):
     w = pl.program_id(0)
@@ -101,31 +102,37 @@ def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
                 s2_s[:, tt:tt + 1] += s2[tt]
 
         # ---- per-(marker, trait) draw on the last tile ----
+        # Runs in (T, W) ROW layout: a (W, T) op at T=4 uses 4 of 128
+        # lanes across ceil(W/8) vregs (8x the instructions at W=64);
+        # (T, W) packs the whole draw into ~1 vreg per op. Only the
+        # accumulated s1/s2 columns get transposed, and the c1/c2
+        # coefficients land in rows with no relayout at all.
         @pl.when(t == n_tiles - 1)
         def _draw():
-            i2se = sc_ref[0:1, :]              # (1, T)
-            dNm1 = sc_ref[1:2, :]              # (1, T)
-            mave = mrow_ref[:, 0:T]
-            mstd = mrow_ref[:, T:2 * T]
-            bold = mrow_ref[:, 2 * T:3 * T]
-            u = mrow_ref[:, 3 * T:4 * T]
-            nrm = mrow_ref[:, 4 * T:5 * T]
-            act = mrow_ref[:, 5 * T:6 * T]
+            i2se = sc_ref[:, 0:1]              # (T, 1)
+            dNm1 = sc_ref[:, 1:2]              # (T, 1)
+            mave = mrow_ref[0:T, :]
+            mstd = mrow_ref[T:2 * T, :]
+            bold = mrow_ref[2 * T:3 * T, :]
+            u = mrow_ref[3 * T:4 * T, :]
+            nrm = mrow_ref[4 * T:5 * T, :]
+            act = mrow_ref[5 * T:6 * T, :]
             if complete:
-                s2v = s2_s[0:1, :]             # (1, T) broadcasts over W
-                s1v = 2.0 * s2v - s1_s[:, :]   # h-decode reconstruction
+                s2v = jnp.transpose(s2_s[0:1, :])        # (T, 1)
+                # h-decode reconstruction
+                s1v = 2.0 * s2v - jnp.transpose(s1_s[:, :])
             else:
-                s2v = s2_s[:, :]
-                s1v = s1_s[:, :]
-            num0 = mstd * (s1v - mave * s2v) + bold * dNm1     # (W, T)
+                s2v = jnp.transpose(s2_s[:, :])
+                s1v = jnp.transpose(s1_s[:, :])
+            num0 = mstd * (s1v - mave * s2v) + bold * dNm1     # (T, W)
 
             bl, bi, bs = (6 * T, (6 + K) * T, (6 + 2 * K - 1) * T)
-            logls = [mrow_ref[:, bl:bl + T]]
+            logls = [mrow_ref[bl:bl + T, :]]
             muks = []
             for j in range(km1):
-                muk = num0 * mrow_ref[:, bi + j * T:bi + (j + 1) * T]
+                muk = num0 * mrow_ref[bi + j * T:bi + (j + 1) * T, :]
                 muks.append(muk)
-                logls.append(mrow_ref[:, bl + (j + 1) * T:bl + (j + 2) * T]
+                logls.append(mrow_ref[bl + (j + 1) * T:bl + (j + 2) * T, :]
                              + muk * num0 * i2se)
             mx = logls[0]
             for l in logls[1:]:
@@ -144,30 +151,30 @@ def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
             for j in range(km1):
                 sel = jnp.where(compf == float(j + 1), 1.0, 0.0)
                 bnz = bnz + sel * (
-                    muks[j] + nrm * mrow_ref[:, bs + j * T:bs + (j + 1) * T])
+                    muks[j] + nrm * mrow_ref[bs + j * T:bs + (j + 1) * T, :])
             pos = jnp.where(compf > 0.0, 1.0, 0.0)
             bnew = bnz * pos * act
             compf = compf * act
             # scaled residual coefficients (window_body: dbeta includes mstd)
-            c1 = (bold - bnew) * mstd                          # (W, T)
+            c1 = (bold - bnew) * mstd                          # (T, W)
             c2 = -c1 * mave
-            c1r = jnp.transpose(c1)                            # (T, W)
-            c1h = c1r.astype(jnp.bfloat16).astype(f32)
+            c1h = c1.astype(jnp.bfloat16).astype(f32)
             c_s[0:T, :] = c1h
-            c_s[T:2 * T, :] = c1r - c1h
+            c_s[T:2 * T, :] = c1 - c1h
             if complete:
                 # per-trait constant term of the h-decode axpy:
-                # 2*sum(c1) + sum(c2), stored as a (T, 1) column
-                colsum = 2.0 * jnp.sum(c1, axis=0, keepdims=True) \
-                    + jnp.sum(c2, axis=0, keepdims=True)       # (1, T)
-                csum_s[:, :] = jnp.transpose(colsum)           # (T, 1)
+                # 2*sum(c1) + sum(c2) over W, directly a (T, 1) column
+                csum_s[:, :] = (2.0 * jnp.sum(c1, axis=1, keepdims=True)
+                                + jnp.sum(c2, axis=1, keepdims=True))
             else:
-                c2r = jnp.transpose(c2)
-                c2h = c2r.astype(jnp.bfloat16).astype(f32)
+                c2h = c2.astype(jnp.bfloat16).astype(f32)
                 c_s[2 * T:3 * T, :] = c2h
-                c_s[3 * T:4 * T, :] = c2r - c2h
-            out_ref[:, 0:T] = bnew
-            out_ref[:, T:2 * T] = compf
+                c_s[3 * T:4 * T, :] = c2 - c2h
+            out_ref[0:T, :] = bnew
+            out_ref[T:2 * T, :] = compf
+            if O_PAD > 2 * T:
+                out_ref[2 * T:O_PAD, :] = jnp.zeros_like(
+                    out_ref[2 * T:O_PAD, :])
 
     @pl.when(ph == 1)
     def _axpy():
@@ -218,9 +225,19 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     n_tiles = NB // tb
     C = mrow.shape[1]
 
+    # Marker rows per window, TRANSPOSED (the draw runs in (T, W) rows).
+    # Compiled Mosaic requires the block's last dim be 128-divisible OR
+    # equal to the array's, so the per-window (C, W) slabs stack along
+    # the SUBLANE dim — array (n_windows*C_pad, W), block (C_pad, W) at
+    # row-block w — making W the full last dim (any window width legal).
+    c_pad = -(-C // 8) * 8
+    o_pad = -(-2 * T // 8) * 8
+    mrow_r = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
+    mrow_r = jnp.pad(mrow_r, ((0, 0), (0, c_pad - C), (0, 0)))
+    mrow_r = mrow_r.reshape(n_windows * c_pad, W)
     eps_r = eps_t.reshape(4 * T, n_tiles, tb).transpose(1, 0, 2)
     tm_r = tm_t.reshape(4 * T, n_tiles, tb).transpose(1, 0, 2)
-    sc = jnp.stack([i_2se.astype(f32), dNm1.astype(f32)])     # (2, T)
+    sc = jnp.stack([i_2se.astype(f32), dNm1.astype(f32)], axis=1)  # (T, 2)
 
     def sds(shape):
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
@@ -232,17 +249,17 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
         in_specs=[
             pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, C), lambda w, p, t: (w, 0),
+            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, T), lambda w, p, t: (0, 0),
+            pl.BlockSpec((T, 2), lambda w, p, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((W, 2 * T), lambda w, p, t: (w, 0),
+            pl.BlockSpec((o_pad, W), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -255,10 +272,12 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
         ],
     )
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_mt_kernel, n_mix, T, n_tiles, complete),
+        functools.partial(_sweep_mt_kernel, n_mix, T, n_tiles, complete,
+                          o_pad),
         grid_spec=grid_spec,
-        out_shape=[sds((m_loc, 2 * T)), sds((n_tiles, 4 * T, tb))],
+        out_shape=[sds((n_windows * o_pad, W)), sds((n_tiles, 4 * T, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow, eps_r, tm_r, sc)
+    )(pk_shuf, mrow_r, eps_r, tm_r, sc)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
-    return eps_new, out
+    out2 = out.reshape(n_windows, o_pad, W)[:, :2 * T, :]
+    return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 2 * T)
