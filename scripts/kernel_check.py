@@ -307,6 +307,36 @@ def main():
     check("sweep_bw.beta", out_c[:, 0], out_i[:, 0], tol=5e-4)
     check("sweep_bw.comp", out_c[:, 1], out_i[:, 1], tol=0)
 
+    # multi-trait whole-sweep mega-kernel: compiled vs interpret mode of
+    # the SAME kernel, driven through the sampler (the CPU suite ties
+    # interpret == the per-window XLA path, tests/test_sweep_kernel_mt.py;
+    # this isolates the Mosaic lowering on-chip). Same accumulation order
+    # on both sides -> component draws must match exactly.
+    import dataclasses as _dc
+
+    from hydra_tpu.parallel.mesh import make_mesh
+    from hydra_tpu.samplers.bayesrrm_mt import BayesRRmMT
+    from tests.test_bayesrrm_mt import simulate_mt
+
+    ds_mt, phen_mt, _ = simulate_mt(m=128, n=320, n_traits=2, seed=5)
+
+    def run_mt(interp):
+        s = BayesRRmMT(ds_mt, phen_mt, window=32, seed=7, mesh=make_mesh(1))
+        s.cfg = _dc.replace(s.cfg, use_mega=True, interpret=interp)
+        s._step = s._build_step()
+        st = s.init_state()
+        for it in range(2):
+            st, _ = s.step(st, it)
+        return st
+
+    st_c, st_i = run_mt(False), run_mt(True)
+    check("sweep_mt.eps", np.asarray(st_c.eps), np.asarray(st_i.eps),
+          tol=5e-4)
+    check("sweep_mt.beta", np.asarray(st_c.beta), np.asarray(st_i.beta),
+          tol=5e-4)
+    check("sweep_mt.comp", np.asarray(st_c.components).astype(np.float32),
+          np.asarray(st_i.components).astype(np.float32), tol=0)
+
     if fails:
         print(f"FATAL  : {fails} kernel check(s) failed", flush=True)
         return 1
