@@ -60,7 +60,7 @@ def mrow_width(k: int) -> int:
     return N_FIXED + 3 * k - 2
 
 
-def _sweep_kernel(K: int, n_tiles: int, complete: bool,
+def _sweep_kernel(K: int, n_tiles: int, complete: bool, PREC,
                   pk_ref, mrow_ref, eps_in_ref, mask_ref, sc_ref,
                   out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):
     w = pl.program_id(0)
@@ -198,15 +198,21 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool,
                 # (incl. the c2 term) was precomputed into csum_s[0, 0]
                 h = _decode_h_int(pk32, k)
                 d = (csum_s[0:1, 0:1]
-                     - jnp.dot(c1h, h, preferred_element_type=f32)
-                     - jnp.dot(c1l, h, preferred_element_type=f32))
+                     - jnp.dot(c1h, h, precision=PREC,
+                               preferred_element_type=f32)
+                     - jnp.dot(c1l, h, precision=PREC,
+                               preferred_element_type=f32))
                 d = d * mask_ref[t, k:k + 1, :]
             else:
                 g, m = _decode_k(pk32, k)
-                d = (jnp.dot(c1h, g, preferred_element_type=f32)
-                     + jnp.dot(c1l, g, preferred_element_type=f32)
-                     + jnp.dot(c2h, m, preferred_element_type=f32)
-                     + jnp.dot(c2l, m, preferred_element_type=f32))
+                d = (jnp.dot(c1h, g, precision=PREC,
+                             preferred_element_type=f32)
+                     + jnp.dot(c1l, g, precision=PREC,
+                               preferred_element_type=f32)
+                     + jnp.dot(c2h, m, precision=PREC,
+                               preferred_element_type=f32)
+                     + jnp.dot(c2l, m, precision=PREC,
+                               preferred_element_type=f32))
             eps_ref[t, k:k + 1, :] += d
 
 
@@ -287,7 +293,8 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         ],
     )
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_kernel, n_mix, n_tiles, complete),
+        functools.partial(_sweep_kernel, n_mix, n_tiles, complete,
+                          jax.lax.Precision.HIGHEST if interpret else None),
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,

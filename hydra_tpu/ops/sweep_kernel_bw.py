@@ -82,7 +82,7 @@ def bw_mrow_width(k: int, n_shrink: int) -> int:
 
 
 def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
-                     complete: bool,
+                     complete: bool, PREC,
                      pk_ref, mrow_ref, eps_in_ref, vi_in_ref, mask_ref,
                      ghx_ref, ghw_ref, sc_ref,
                      out_ref, eps_ref,
@@ -289,15 +289,21 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
                 # (incl. sum(c2)) precomputed into csum_s[0, 0]
                 h = _decode_h_int(pk32, k)
                 d = (csum_s[0:1, 0:1]
-                     - jnp.dot(c1h, h, preferred_element_type=f32)
-                     - jnp.dot(c1l, h, preferred_element_type=f32)
+                     - jnp.dot(c1h, h, precision=PREC,
+                               preferred_element_type=f32)
+                     - jnp.dot(c1l, h, precision=PREC,
+                               preferred_element_type=f32)
                      ) * mask_ref[t, k:k + 1, :]
             else:
                 g, m = _decode_k(pk32, k)
-                d = (jnp.dot(c1h, g, preferred_element_type=f32)
-                     + jnp.dot(c1l, g, preferred_element_type=f32)
-                     + jnp.dot(c2h, m, preferred_element_type=f32)
-                     + jnp.dot(c2l, m, preferred_element_type=f32))
+                d = (jnp.dot(c1h, g, precision=PREC,
+                             preferred_element_type=f32)
+                     + jnp.dot(c1l, g, precision=PREC,
+                               preferred_element_type=f32)
+                     + jnp.dot(c2h, m, precision=PREC,
+                               preferred_element_type=f32)
+                     + jnp.dot(c2l, m, precision=PREC,
+                               preferred_element_type=f32))
             e = eps_ref[t, k:k + 1, :] + d
             eps_ref[t, k:k + 1, :] = e
             # vi refresh in place (BayesW.cpp:1832-1834)
@@ -393,7 +399,8 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
     )
     out, eps_out = pl.pallas_call(
         functools.partial(_sweep_bw_kernel, n_mix, n_tiles, n_expand,
-                          n_shrink, complete),
+                          n_shrink, complete,
+                          jax.lax.Precision.HIGHEST if interpret else None),
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,

@@ -54,7 +54,7 @@ def mt_mrow_width(k: int, t: int) -> int:
 
 
 def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
-                     O_PAD: int,
+                     O_PAD: int, PREC,
                      pk_ref, mrow_ref, eps_in_ref, tm_ref, sc_ref,
                      out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):
     w = pl.program_id(0)
@@ -187,14 +187,20 @@ def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
             if complete:
                 h = _decode_h_int(pk32, k)
                 d = (csum_s[:, :]
-                     - jnp.dot(c1h, h, preferred_element_type=f32)
-                     - jnp.dot(c1l, h, preferred_element_type=f32))
+                     - jnp.dot(c1h, h, precision=PREC,
+                               preferred_element_type=f32)
+                     - jnp.dot(c1l, h, precision=PREC,
+                               preferred_element_type=f32))
             else:
                 g, m = _decode_k(pk32, k)
-                d = (jnp.dot(c1h, g, preferred_element_type=f32)
-                     + jnp.dot(c1l, g, preferred_element_type=f32)
-                     + jnp.dot(c2h, m, preferred_element_type=f32)
-                     + jnp.dot(c2l, m, preferred_element_type=f32))
+                d = (jnp.dot(c1h, g, precision=PREC,
+                             preferred_element_type=f32)
+                     + jnp.dot(c1l, g, precision=PREC,
+                               preferred_element_type=f32)
+                     + jnp.dot(c2h, m, precision=PREC,
+                               preferred_element_type=f32)
+                     + jnp.dot(c2l, m, precision=PREC,
+                               preferred_element_type=f32))
             # trait-mask rows zero NaN-masked individuals AND pad lanes
             d = d * tm_ref[t, k * T:(k + 1) * T, :]
             eps_ref[t, k * T:(k + 1) * T, :] += d
@@ -271,9 +277,16 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
             pltpu.VMEM((T, 1), f32),        # h-decode constant per trait
         ],
     )
+    # Interpret mode runs the trace through regular XLA-TPU, whose
+    # default-precision f32 dots truncate operands to bf16 AND whose
+    # excess-precision simplifier folds the in-trace f32->bf16->f32 hi/lo
+    # split (measured 1.5e-3 rel-err on the axpy). Force HIGHEST there so
+    # interpret is a valid golden reference; compiled Mosaic honors the
+    # split and keeps the fast default (scripts/repro_mt.py).
+    prec = jax.lax.Precision.HIGHEST if interpret else None
     out, eps_out = pl.pallas_call(
         functools.partial(_sweep_mt_kernel, n_mix, T, n_tiles, complete,
-                          o_pad),
+                          o_pad, prec),
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * o_pad, W)), sds((n_tiles, 4 * T, tb))],
         interpret=interpret,
