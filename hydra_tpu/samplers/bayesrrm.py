@@ -696,9 +696,17 @@ class BayesRRm:
                    and n_dev == 1 and n_ind == 1 and n_dcn == 1)
         use_mega = (mega_ok and mega != "off" and not forced_planes
                     and (mega == "on" or geno.n_pad <= 16384))
-        use_planes = (planes_ok and not use_mega
-                      and (forced_planes
-                           or planes_bytes <= PLANES_HBM_BUDGET))
+        # Opt-in ONLY (never auto): hardware measurement (hw_battery 5a/5b,
+        # 2026-08) showed the planes path 15x SLOWER than decode-on-the-fly
+        # at M=10K x N=50K (70.4 vs 4.63 ms/sweep) and a TPU worker crash
+        # at M=100K planes-on — the int8 plane streaming loses to in-kernel
+        # 2-bit decode despite halving VPU work. Kept as an experimental
+        # path behind --cache-planes on.
+        use_planes = planes_ok and not use_mega and forced_planes
+        if forced_planes and planes_bytes > PLANES_HBM_BUDGET:
+            print(f"INFO   : --cache-planes on exceeds the {PLANES_HBM_BUDGET / 1e9:.0f} "
+                  f"GB HBM budget ({planes_bytes / 1e9:.1f} GB of planes) — "
+                  "expect allocation failure", flush=True)
         if plane_cache == "on" and not use_planes:
             print("INFO   : --cache-planes on ignored (needs TPU backend, "
                   "float32, stale windows >= 8, complete data, no "
