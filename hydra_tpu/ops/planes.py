@@ -14,10 +14,22 @@ the per-genotype op count:
 at 4x the HBM traffic (1 byte vs 2 bits per genotype) — still far under
 the ~800 GB/s roofline, so the sweep stays VPU-bound but with half the
 ops. The packed bytes remain the at-scale representation (M=500K planes
-would need 25 GB); the cache is an opt-in/auto fast path for problems
-that fit (hydra keeps everything packed always — the reference has no
+would need 25 GB); the cache is an opt-in fast path for problems that
+fit (hydra keeps everything packed always — the reference has no
 analogue because its LUT decode is nearly free on CPU,
 src/BayesRRm.cpp:1774-1808).
+
+HARDWARE VERDICT (v5e, 2026-08, scripts/probe_planes.py): the op-count
+model above is wrong on the real chip — this path measures 15x SLOWER
+than decode-on-the-fly (70.4 vs 4.63 ms/sweep at M=10K x N=50K W=256).
+Two independent pathologies: (1) the per-window XLA row-gather of
+(W, 4*NB) int8 runs at ~8 GB/s (1521 us/window alone — two orders under
+the DMA roofline), and (2) even gather-free, the in-kernel i8->i32->f32
+widen costs ~704 us/window — int8 (32,128)-tiled loads pay a 4x sublane
+relayout per sub-slice that dwarfs the 6-op arithmetic decode it was
+meant to replace. The sampler therefore never auto-enables this path
+(samplers/bayesrrm.py); it stays behind --cache-planes on as a measured
+negative result.
 
 Layout: planes are stored FLAT-DEINTERLEAVED, (M, n_pad) int8 with
 column k*NB + b = genotype of individual 4b + k — i.e. each marker row

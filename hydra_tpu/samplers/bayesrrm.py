@@ -690,12 +690,23 @@ class BayesRRm:
         planes_ok = (tpu_f32 and window >= 8 and not exact and complete
                      and n_ind == 1 and plane_cache != "off")
         forced_planes = planes_ok and plane_cache == "on"
-        # mega="on" forces the whole-sweep kernel beyond the auto N-gate
+        # mega="on" forces the whole-sweep kernel beyond the auto gates
         # (still single-shard stale only); "off" disables it
         mega_ok = (tpu_f32 and window >= 8 and not exact
                    and n_dev == 1 and n_ind == 1 and n_dcn == 1)
+        # Auto gates (hw_battery, 2026-08): at n_pad <= 16K the fused
+        # sweep removes the dominant launch/glue cost (5.8 -> 1.9 ms at
+        # M=10K x N=5K). At wider N its one-per-sweep full shuffle gather
+        # of the packed bytes only amortizes at large M: measured 4.97 vs
+        # 4.63 ms at M=10K x N=50K (loses) but 37.95 vs 39.8 ms at
+        # M=100K x N=50K (wins). The gather materializes a second shuffled
+        # copy of the packed bytes, so big-M runs must also leave HBM room
+        # (2x packed + eps/outputs under ~12 GB on a 16 GB v5e).
+        packed_bytes = m_loc * (geno.n_pad // 4)
+        mega_auto = (geno.n_pad <= 16384
+                     or (m_loc >= 100_000 and 2.2 * packed_bytes < 12e9))
         use_mega = (mega_ok and mega != "off" and not forced_planes
-                    and (mega == "on" or geno.n_pad <= 16384))
+                    and (mega == "on" or mega_auto))
         # Opt-in ONLY (never auto): hardware measurement (hw_battery 5a/5b,
         # 2026-08) showed the planes path 15x SLOWER than decode-on-the-fly
         # at M=10K x N=50K (70.4 vs 4.63 ms/sweep) and a TPU worker crash
