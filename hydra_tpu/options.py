@@ -235,9 +235,10 @@ def build_parser() -> argparse.ArgumentParser:
            "(the reference is f64 end-to-end)")
     a("--cache-planes", dest="plane_cache", default="auto",
       choices=["auto", "on", "off"],
-      help="cache int8 decoded genotype planes in HBM (stale complete-data "
-           "runs): halves the per-genotype decode work when M x N fits; "
-           "auto enables under a 9 GB budget")
+      help="EXPERIMENTAL: cache int8 decoded genotype planes in HBM "
+           "(stale complete-data runs). Hardware-measured 15x slower than "
+           "the default decode-on-the-fly kernels (ops/planes.py) — never "
+           "auto-enabled; 'on' forces it")
     a("--mega", dest="mega", default="auto",
       choices=["auto", "on", "off"],
       help="whole-sweep mega-kernel (single-shard stale runs): auto gates "
