@@ -46,6 +46,17 @@ def check_ram_usage(opt: Options) -> dict:
           f"ind-shards={getattr(opt, 'ind_shards', 1)}")
     print(f"INFO   : per-chip HBM estimate: {gb:.3f} GB "
           f"(geno {est['geno'] / 1e9:.3f}, workspace {est['window_ws'] / 1e9:.3f})")
+    # --check-RAM-tasks-per-node: chips per host (the reference's per-node
+    # grouping, BayesRRm.cpp:2947-3084). Host RAM must stage every local
+    # chip's genotype shard during load, so report the per-host aggregate.
+    tpn = max(0, opt.check_ram_tpn)
+    if tpn:
+        hosts = -(-chips // tpn)
+        host_gb = est["total"] * min(tpn, chips) / 1e9
+        est["hosts"] = hosts
+        est["per_host"] = est["total"] * min(tpn, chips)
+        print(f"INFO   : {tpn} chip(s)/host -> {hosts} host(s); per-host "
+              f"aggregate (HBM + host staging at load): {host_gb:.3f} GB")
     hbm_per_chip = 16e9  # v5e class
     if est["total"] > hbm_per_chip:
         print(f"WARNING: exceeds ~{hbm_per_chip / 1e9:.0f} GB HBM per chip; "

@@ -92,7 +92,7 @@ class Options:
     ind_shards: int = 1                  # individual-axis mesh shards (N-sharding)
     dcn_slices: int = 1                  # multi-slice hierarchy: ("dcn","markers")
     dtype: str = "float32"               # accumulation dtype
-    plane_cache: str = "auto"            # int8 decoded-plane cache (ops/planes.py)
+    plane_cache: str = "off"             # int8 decoded-plane cache (ops/planes.py)
     mega: str = "auto"                   # whole-sweep mega-kernel gate override
 
     @property
@@ -128,7 +128,31 @@ class Options:
                 "--sparse-dir and --sparse-basename must either be both set or unset"
             )  # options.cpp:192
         if self.window <= 0:
-            self.window = max(1, self.sync_rate)
+            if self.exact and self.bayes_type != "bayesWMPI":
+                # Exact mode is PROVEN window-invariant (the Gram correction
+                # reproduces sequential Gibbs for any W —
+                # tests/test_bayesrrm.py::test_exact_mode_is_exact_across_shards
+                # asserts W=1 == W=4 chains), so the default window is sized
+                # for the hardware, not tied to --sync-rate: W=64 takes the
+                # fused Pallas window kernels (gated at W >= 8) instead of a
+                # per-marker XLA scan, at identical semantics.
+                self.window = 64
+                if self.sync_rate != self.window:
+                    print("INFO   : exact mode: using window=64 (window-"
+                          "invariant semantics; pass --window to override)",
+                          flush=True)
+            else:
+                self.window = max(1, self.sync_rate)
+        if self.bayes_type == "bayesWMPI" and self.window > 64:
+            # The builder's own hardware bias sweep (BIAS_SWEEP_BW.md):
+            # BayesW stale windows W=256 drift the Weibull shape posterior
+            # (alpha 12.2 vs 11.2, m0 +58%); W <= 64 matches W=1 within the
+            # posterior CI. The reference's --sync-rate has the same
+            # staleness trade-off (options.cpp:213-216) but no guard.
+            print(f"WARNING: --window {self.window} > 64 for bayesWMPI: "
+                  "stale windows this wide measurably bias the alpha/m0 "
+                  "posterior (BIAS_SWEEP_BW.md); keep BayesW windows <= 64",
+                  flush=True)
         if self.mcmc_out_dir:
             os.makedirs(self.mcmc_out_dir, exist_ok=True)
             os.makedirs(os.path.join(self.mcmc_out_dir, "tarballs"), exist_ok=True)
@@ -233,12 +257,12 @@ def build_parser() -> argparse.ArgumentParser:
       choices=["float32", "float64"],
       help="sampler accumulation dtype; float64 needs JAX_ENABLE_X64 "
            "(the reference is f64 end-to-end)")
-    a("--cache-planes", dest="plane_cache", default="auto",
-      choices=["auto", "on", "off"],
+    a("--cache-planes", dest="plane_cache", default="off",
+      choices=["off", "on", "auto"],
       help="EXPERIMENTAL: cache int8 decoded genotype planes in HBM "
            "(stale complete-data runs). Hardware-measured 15x slower than "
-           "the default decode-on-the-fly kernels (ops/planes.py) — never "
-           "auto-enabled; 'on' forces it")
+           "the default decode-on-the-fly kernels (ops/planes.py); 'on' "
+           "forces it, 'auto' is an accepted alias of 'off'")
     a("--mega", dest="mega", default="auto",
       choices=["auto", "on", "off"],
       help="whole-sweep mega-kernel (single-shard stale runs): auto gates "

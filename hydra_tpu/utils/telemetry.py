@@ -37,6 +37,7 @@ class SyncProfile:
     ar2_s: float = 0.0        # seconds per N-length psum
     n_ar1: int = 0            # scalar psums per iteration
     n_ar2: int = 0            # N-length psums per iteration
+    n_dev: int = 1            # marker-axis size the profile was taken on
 
     @property
     def sync_per_iter(self) -> float:
@@ -60,7 +61,8 @@ def measure_sync_profile(mesh, n_len: int, n_windows: int,
     n_len is the (padded) epsilon length; per sweep there are n_windows
     scalar psums and n_windows N-length psums over the marker axis.
     """
-    prof = SyncProfile(n_ar1=n_windows, n_ar2=n_windows)
+    prof = SyncProfile(n_ar1=n_windows, n_ar2=n_windows,
+                       n_dev=mesh.shape[MARKER_AXIS])
     if mesh.shape[MARKER_AXIS] == 1:
         return prof  # psum over a singleton axis is a compiled no-op
 
@@ -105,9 +107,15 @@ def exit_line(total_s: float, prof: SyncProfile, n_iter: int) -> str:
     t1 = prof.ar1_s * prof.n_ar1 * n_iter
     t2 = prof.ar2_s * prof.n_ar2 * n_iter
     pct = (t1 + t2) / total_s * 100.0 if total_s > 0 else 0.0
+    # On a 1-device marker axis every psum is a compiled no-op; the zeros
+    # carry no information, so the line says so instead of reading as a
+    # measurement. Multi-device numbers are still modeled from isolated
+    # collective timing (module docstring) — labelled as such.
+    tag = (" [1-device axis: no collectives]" if prof.n_dev == 1
+           else " [sync modeled from isolated collective timing]")
     return (f"INFO   : rank    0, time to process the data: {total_s:.3f} sec, "
             f"with {t1 + t2:.3f} ({t1:.3f}, {t2:.3f}) = {pct:4.1f}% spent on "
-            f"allred ({prof.n_ar1 * n_iter}, {prof.n_ar2 * n_iter})")
+            f"allred ({prof.n_ar1 * n_iter}, {prof.n_ar2 * n_iter}){tag}")
 
 
 def cass_table(it: int, mtot_grp, sigma_g, cass) -> str:

@@ -75,13 +75,16 @@ def main():
         e, _ = jax.lax.scan(body, eps, jnp.arange(n_win))
         return jnp.sum(e)
 
-    # D: stats on a FIXED window slice (no gather)
+    # D: stats on a CONTIGUOUS window slice (no gather). The slice start
+    # varies with the loop counter so XLA cannot hoist the kernel out of
+    # the scan (a fixed (0, 0) slice body is loop-invariant and would time
+    # one window, not n_win).
     @jax.jit
     def stats_only(planes, eps):
         def body(acc, w):
-            pw = jax.lax.dynamic_slice(planes, (0, 0), (W, NP))
+            pw = jax.lax.dynamic_slice(planes, (w * W, 0), (W, NP))
             s1 = window_stats_planes(pw, eps)
-            return acc + jnp.sum(s1) + jnp.float32(w), None
+            return acc + jnp.sum(s1), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_win))
         return acc
 
