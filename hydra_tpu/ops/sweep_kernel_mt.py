@@ -155,6 +155,7 @@ def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
             pos = jnp.where(compf > 0.0, 1.0, 0.0)
             bnew = bnz * pos * act
             compf = compf * act
+            acum = probs[0] * act + (1.0 - act)   # P(zero comp) (.acu)
             # scaled residual coefficients (window_body: dbeta includes mstd)
             c1 = (bold - bnew) * mstd                          # (T, W)
             c2 = -c1 * mave
@@ -172,9 +173,10 @@ def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
                 c_s[3 * T:4 * T, :] = c2 - c2h
             out_ref[0:T, :] = bnew
             out_ref[T:2 * T, :] = compf
-            if O_PAD > 2 * T:
-                out_ref[2 * T:O_PAD, :] = jnp.zeros_like(
-                    out_ref[2 * T:O_PAD, :])
+            out_ref[2 * T:3 * T, :] = acum
+            if O_PAD > 3 * T:
+                out_ref[3 * T:O_PAD, :] = jnp.zeros_like(
+                    out_ref[3 * T:O_PAD, :])
 
     @pl.when(ph == 1)
     def _axpy():
@@ -218,8 +220,8 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     (deinterleave_mt); mrow: (m_loc, mt_mrow_width(K, T)) rows in the same
     order; i_2se / dNm1: (T,) per-trait scalars.
 
-    Returns (eps_t', out) with out columns [bnew (T), compf (T)] per
-    shuffled marker.
+    Returns (eps_t', out) with out columns [bnew (T), compf (T), acum (T)]
+    per shuffled marker.
     """
     m_loc, NB = pk_shuf.shape
     T = n_traits
@@ -237,7 +239,7 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     # the SUBLANE dim — array (n_windows*C_pad, W), block (C_pad, W) at
     # row-block w — making W the full last dim (any window width legal).
     c_pad = -(-C // 8) * 8
-    o_pad = -(-2 * T // 8) * 8
+    o_pad = -(-3 * T // 8) * 8
     mrow_r = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
     mrow_r = jnp.pad(mrow_r, ((0, 0), (0, c_pad - C), (0, 0)))
     mrow_r = mrow_r.reshape(n_windows * c_pad, W)
@@ -292,5 +294,5 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
         interpret=interpret,
     )(pk_shuf, mrow_r, eps_r, tm_r, sc)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
-    out2 = out.reshape(n_windows, o_pad, W)[:, :2 * T, :]
-    return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 2 * T)
+    out2 = out.reshape(n_windows, o_pad, W)[:, :3 * T, :]
+    return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 3 * T)

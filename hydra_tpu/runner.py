@@ -101,6 +101,12 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         mS = groups_io.read_ms_file(opt.group_mixture_file)
     ds = load_dataset(bed_basename=opt.bed_file, pheno=ph, n=n, m=m,
                       groups=grp, mS=mS, S=opt.S)
+    if opt.covariates:
+        # mt keeps all individuals (NaN masks, not removal) — covariates
+        # are read full-N; per-trait masking happens inside the sampler
+        import dataclasses as _dc
+        X = pheno_io.read_csv_covariates(opt.covariates_file, n)
+        ds = _dc.replace(ds, X=X)
     T = phenos.shape[0]
     mcmc_out = opt.mcmc_out
     rds = None
@@ -146,6 +152,10 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                 jnp.asarray(np.stack([rd.est_pi for rd in rds]), jnp.float32),
                 sampler._rep),
         )
+        if opt.covariates and all(rd.gamma is not None for rd in rds):
+            state = state._replace(gamma=_jax.device_put(
+                jnp.asarray(np.stack([rd.gamma for rd in rds], axis=1),
+                            jnp.float32), sampler._rep))
         start_it = rds[0].start_iteration
         opt.mcmc_out_name += "_rs"
         mcmc_out = opt.mcmc_out
@@ -154,7 +164,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     writers = [
         McmcWriter(mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
                    ds.mS.shape[1], opt.thin, opt.save, opt.seed,
-                   window=opt.window, exact=False)
+                   covariates=opt.covariates, window=opt.window, exact=False)
         for t in range(T)
     ]
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
@@ -163,6 +173,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         state, stats = sampler.step(state, it)
         if it % opt.thin == 0:
             beta_g = sampler.beta_global(state)
+            acum_g = sampler.acum_global(state)
             for t, w in enumerate(writers):
                 sg = np.asarray(state.sigma_g, dtype=np.float64)[t]
                 se = float(np.asarray(state.sigma_e)[t])
@@ -174,17 +185,20 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                 comp_t[sampler.slot_to_marker[sel]] = \
                     np.asarray(state.components)[sel, t]
                 w.on_thin(it, beta_g[:, t], comp_t, row,
-                          float(np.asarray(state.mu)[t]))
+                          float(np.asarray(state.mu)[t]),
+                          acum=acum_g[:, t])
         if it > 0 and it % opt.save == 0:
             eps_all = np.asarray(state.eps, dtype=np.float64)
             beta_g = sampler.beta_global(state)
+            gamma_all = np.asarray(state.gamma, dtype=np.float64)
             sel = sampler.slot_to_marker >= 0
             for t, w in enumerate(writers):
                 comp_t = np.zeros(ds.m, dtype=np.int32)
                 comp_t[sampler.slot_to_marker[sel]] = \
                     np.asarray(state.components)[sel, t]
                 w.on_save(it, eps_all[: ds.n, t], marker_order,
-                          beta_g[:, t], comp_t)
+                          beta_g[:, t], comp_t,
+                          gamma=(gamma_all[:, t] if opt.covariates else None))
         if verbose and it % 10 == 0:
             sg = np.asarray(state.sigma_g).sum(axis=1)
             se = np.asarray(state.sigma_e)

@@ -42,10 +42,11 @@ from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes
 from hydra_tpu.parallel.mesh import (
     IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
-from hydra_tpu.samplers.bayesrrm import S02E, V0E, V0G_DEFAULT, S02G_DEFAULT
+from hydra_tpu.samplers.bayesrrm import S02E, S02F, V0E, V0G_DEFAULT, S02G_DEFAULT
 from hydra_tpu.utils import dist
 
 _S_MU, _S_UNIF, _S_NORM, _S_SIGMAG, _S_PI, _S_SIGMAE, _S_PERM = 0, 1, 2, 3, 4, 5, 6
+_S_COV, _S_COVPERM = 7, 8
 _S_INIT = 100
 
 
@@ -59,6 +60,7 @@ class MtConfig:
     k: int
     num_groups: int
     n_traits: int
+    n_cov: int = 0
     n_ind: int = 1
     n_dcn: int = 1
     shuffle: bool = True
@@ -80,10 +82,12 @@ class MtState(NamedTuple):
     eps: jax.Array        # (n_pad, T) — masked entries held at 0
     beta: jax.Array       # (m_glob, T)
     components: jax.Array  # (m_glob, T) int32
+    acum: jax.Array       # (m_glob, T) — P(zero component) (.t<k>.acu output)
     mu: jax.Array         # (T,)
     sigma_e: jax.Array    # (T,)
     sigma_g: jax.Array    # (T, G)
     est_pi: jax.Array     # (T, G, K)
+    gamma: jax.Array      # (F, T) per-trait fixed effects
 
 
 class MtStats(NamedTuple):
@@ -94,7 +98,7 @@ class MtStats(NamedTuple):
 
 def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
                      packed, groups, mave, mstd, valid,
-                     cva, cvai, mtot_grp, trait_mask, n_per_trait):
+                     cva, cvai, mtot_grp, trait_mask, n_per_trait, x_cov):
     f32 = jnp.float32
     T = cfg.n_traits
     km1 = cfg.k - 1
@@ -121,6 +125,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     eps = state.eps
     beta = state.beta
     comps = state.components
+    acum = state.acum
     sigma_e = state.sigma_e            # (T,)
     sigma_g = state.sigma_g            # (T, G)
     est_pi = state.est_pi              # (T, G, K)
@@ -152,7 +157,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     tiny = f32(1e-30)
 
     def window_body(w, carry):
-        eps, beta, comps, cass = carry
+        eps, beta, comps, acum, cass = carry
         idx = jax.lax.dynamic_slice(perm, (w * W,), (W,))
         pk = jnp.take(packed, idx, axis=0)
         mave_w = jnp.take(mave, idx, axis=0)        # (W, T)
@@ -214,6 +219,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
                    )[:, :, 0]
         bnew_w = jnp.where((comp > 0) & act_w, beta_nz, 0.0)
         comp = jnp.where(act_w, comp, 0)
+        acum0 = jnp.where(act_w, probs[:, :, 0], 1.0)        # (W, T)
         dbeta = (bold_w - bnew_w) * mstd_w                   # scaled deltas
 
         # dEps(:, t) = A^T (dbeta*mstd) - B^T (dbeta*mstd*mave), then mask
@@ -245,7 +251,8 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
 
         beta = beta.at[idx].set(bnew_w)
         comps = comps.at[idx].set(comp)
-        return eps, beta, comps, cass
+        acum = acum.at[idx].set(acum0)
+        return eps, beta, comps, acum, cass
 
     cass0 = jax.lax.pcast(
         jnp.zeros((T, cfg.num_groups, cfg.k), f32), ma, to="varying")
@@ -297,8 +304,10 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         eps = jax.lax.psum(interleave_mt(eps_new_t, T), ma)
         bnew_s = out_m[:, :T]
         comp_s = out_m[:, T:2 * T].astype(jnp.int32)
+        acum_s = out_m[:, 2 * T:3 * T]
         beta = beta.at[perm].set(bnew_s)
         comps = comps.at[perm].set(comp_s)
+        acum = acum.at[perm].set(acum_s)
         flat = (grp_s[:, None] * cfg.k + comp_s).reshape(-1)
         trait_ids = jnp.broadcast_to(
             jnp.arange(T)[None, :], (cfg.m_loc, T)).reshape(-1)
@@ -316,8 +325,8 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             # per sweep, not once per window (see BayesRRm)
             eps = deinterleave_mt(eps)
             tm_t = deinterleave_mt(trait_mask)
-        eps, beta, comps, cass = jax.lax.fori_loop(
-            0, cfg.n_windows, window_body, (eps, beta, comps, cass0))
+        eps, beta, comps, acum, cass = jax.lax.fori_loop(
+            0, cfg.n_windows, window_body, (eps, beta, comps, acum, cass0))
         if cfg.use_pallas:
             eps = interleave_mt(eps, T)
 
@@ -338,13 +347,44 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     pi_draw = dist.dirichlet_rng(site(_S_PI), cass + 1.0)
     est_pi = jnp.where(skip[:, :, None], est_pi, pi_draw)
 
+    # ---- per-trait fixed-effects ridge sweep ----
+    # The reference's mt covariate block (BayesRRm_mt.cpp:1215-1245) is
+    # unfinished: it keeps ONE gamma vector, uses a scalar sigmaE, and
+    # updates only the first Ntot residual entries (trait 0) — inside a
+    # path whose restart branch exit(1)s ("ADAPT!!", :713). This is the
+    # completed multi-trait generalization of the single-trait sweep
+    # (BayesRRm.cpp:2648-2681): per-trait gamma columns, each trait's dot
+    # products and residual updates taken under its NaN mask, shared keys
+    # across shards (the Bcast equivalent).
+    gamma = state.gamma
+    if cfg.n_cov > 0:
+        xi = jax.random.permutation(site(_S_COVPERM), cfg.n_cov)
+        gdraws = jax.random.normal(site(_S_COV), (cfg.n_cov, T), f32)
+        denom_f = dNm1 + sigma_e / S02F                      # (T,)
+
+        def cov_step(carry, i):
+            eps, gamma = carry
+            colm = x_cov[:, xi[i]][:, None] * trait_mask     # (N_loc, T)
+            g_old = gamma[xi[i]]                             # (T,)
+            num_f = psum_i(jnp.sum(
+                colm * (eps + g_old[None, :] * colm), axis=0))
+            g_new = (num_f / denom_f
+                     + gdraws[i] * jnp.sqrt(sigma_e / denom_f))
+            eps = eps + (g_old - g_new)[None, :] * colm
+            gamma = gamma.at[xi[i]].set(g_new)
+            return (eps, gamma), None
+
+        (eps, gamma), _ = jax.lax.scan(cov_step, (eps, gamma),
+                                       jnp.arange(cfg.n_cov))
+
     e_sqn = psum_i(jnp.sum(eps * eps, axis=0))               # (T,)
     keys_e = jax.random.split(site(_S_SIGMAE), T)
     sigma_e = jax.vmap(dist.inv_scaled_chisq_rng)(
         keys_e, V0E + dN, (e_sqn + V0E * S02E) / (V0E + dN))
 
-    new_state = MtState(eps=eps, beta=beta, components=comps, mu=mu,
-                        sigma_e=sigma_e, sigma_g=sigma_g, est_pi=est_pi)
+    new_state = MtState(eps=eps, beta=beta, components=comps, acum=acum,
+                        mu=mu, sigma_e=sigma_e, sigma_g=sigma_g,
+                        est_pi=est_pi, gamma=gamma)
     return new_state, MtStats(m0=m0, cass=cass, beta_sqn=beta_sqn)
 
 
@@ -381,6 +421,7 @@ class BayesRRmMT:
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
+            n_cov=0 if dataset.X is None else dataset.X.shape[1],
             n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
@@ -484,6 +525,12 @@ class BayesRRmMT:
         tm[: geno.n] = mask.T
         self.trait_mask = put(jnp.asarray(tm), shard_i2)
         self.n_per_trait = put(jnp.asarray(nonas, jnp.float32), rep)
+        if dataset.X is not None:
+            xpad = np.zeros((geno.n_pad, dataset.X.shape[1]), dtype=np.float32)
+            xpad[: geno.n] = dataset.X
+            self.x_cov = put(jnp.asarray(xpad), shard_i2)
+        else:
+            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), shard_i2)
         self._rep, self._shard_m, self._shard_m2 = rep, shard_m, shard_m2
         self._multi = {}
         self._step = self._build_step()
@@ -506,10 +553,12 @@ class BayesRRmMT:
             eps=put(jnp.asarray(eps), self._shard_i2),
             beta=put(jnp.zeros((cfg.m_glob, T), jnp.float32), self._shard_m2),
             components=put(jnp.zeros((cfg.m_glob, T), jnp.int32), self._shard_m2),
+            acum=put(jnp.zeros((cfg.m_glob, T), jnp.float32), self._shard_m2),
             mu=put(jnp.zeros(T, jnp.float32), self._rep),
             sigma_e=put(jnp.asarray(sigma_e, jnp.float32), self._rep),
             sigma_g=put(jnp.asarray(sg, jnp.float32), self._rep),
             est_pi=put(jnp.asarray(pi0, jnp.float32), self._rep),
+            gamma=put(jnp.zeros((cfg.n_cov, T), jnp.float32), self._rep),
         )
 
     def _build_step(self):
@@ -524,14 +573,15 @@ class BayesRRmMT:
         else:
             pmb = pm2
             pi2 = rep
-        state_specs = MtState(eps=pi2, beta=pm2, components=pm2, mu=rep,
-                              sigma_e=rep, sigma_g=rep, est_pi=rep)
+        state_specs = MtState(eps=pi2, beta=pm2, components=pm2, acum=pm2,
+                              mu=rep, sigma_e=rep, sigma_g=rep, est_pi=rep,
+                              gamma=rep)
         stats_specs = MtStats(m0=rep, cass=rep, beta_sqn=rep)
         fn = functools.partial(_local_iteration, self.cfg)
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
             in_specs=(rep, rep, state_specs, pmb, pm, pm2, pm2, pm,
-                      rep, rep, rep, pi2, rep),
+                      rep, rep, rep, pi2, rep, pi2),
             out_specs=(state_specs, stats_specs))
 
         # Big arrays are jit ARGUMENTS, not closure captures (closure consts
@@ -540,7 +590,7 @@ class BayesRRmMT:
         self._sharded = sharded
         self._consts = (self.packed, self.groups, self.mave, self.mstd,
                         self.valid, self.cva, self.cvai, self.mtot_grp,
-                        self.trait_mask, self.n_per_trait)
+                        self.trait_mask, self.n_per_trait, self.x_cov)
 
         def raw_step(seed, it, state):
             return sharded(seed, it, state, *self._consts)
@@ -572,4 +622,11 @@ class BayesRRmMT:
         out = np.zeros((self.cfg.m_tot, self.cfg.n_traits))
         sel = self.slot_to_marker >= 0
         out[self.slot_to_marker[sel]] = np.asarray(state.beta, np.float64)[sel]
+        return out
+
+    def acum_global(self, state) -> np.ndarray:
+        """(m_tot, T) P(zero component) in reference marker order (.acu)."""
+        out = np.ones((self.cfg.m_tot, self.cfg.n_traits))
+        sel = self.slot_to_marker >= 0
+        out[self.slot_to_marker[sel]] = np.asarray(state.acum, np.float64)[sel]
         return out

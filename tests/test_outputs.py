@@ -327,6 +327,42 @@ def test_cli_multi_trait(tmp_path):
         assert [int(r.split(",")[0]) for r in rows] == [6, 8]
 
 
+def test_cli_multi_trait_covariates_and_acu(tmp_path):
+    """mt with --covariates: per-trait .gam.0 dumps and real .acu records
+    (BayesRRm_mt.cpp:706-708; the reference's own mt covariate block is
+    unfinished — see samplers/bayesrrm_mt.py)."""
+    base, _ = make_synthetic_bed(tmp_path, 16, 48, seed=18)
+    rs = np.random.RandomState(18)
+    for t in (1, 2):
+        with open(base + f".phen{t}", "w") as fh:
+            for i in range(48):
+                fh.write(f"per{i} per{i} {rs.randn():.5f}\n")
+    with open(base + ".cov", "w") as fh:
+        for i in range(48):
+            fh.write(f"{rs.randn():.5f},{rs.randn():.5f}\n")
+    out = str(tmp_path / "outmtc")
+    _run_cli(["--mpibayes", "bayesMPI", "--bfile", base,
+              "--pheno", f"{base}.phen1,{base}.phen2",
+              "--covariates", base + ".cov",
+              "--mcmc-out-dir", out, "--mcmc-out-name", "mtc",
+              "--chain-length", "6", "--thin", "2", "--save", "4",
+              "--seed", "4", "--S", "0.001,0.01,0.1"])
+    for t in range(2):
+        ob = os.path.join(out, f"mtc.t{t}")
+        # .acu: same layout as .bet but f64 P(zero): header + 3 records
+        raw = open(ob + ".acu", "rb").read()
+        assert np.frombuffer(raw[:4], np.uint32)[0] == 16
+        assert len(raw) == 4 + 3 * (4 + 16 * 8)
+        vals = np.frombuffer(raw[-16 * 8:], np.float64)
+        assert vals.min() >= 0.0 and vals.max() <= 1.0 and vals.std() > 0
+        # .gam.0: [u32 it][u32 F][F f64]
+        raw = open(ob + ".gam.0", "rb").read()
+        it, f = np.frombuffer(raw[:8], np.uint32)
+        assert (it, f) == (4, 2)
+        g = np.frombuffer(raw[8:], np.float64)
+        assert g.shape == (2,) and np.isfinite(g).all()
+
+
 def test_bed_to_sparse_cli(tmp_path):
     base, _ = make_synthetic_bed(tmp_path, 25, 40, seed=12)
     _run_cli(["--bed-to-sparse", "--bfile", base])
