@@ -48,7 +48,12 @@ from hydra_tpu.ops.decode import decode_planes
 from hydra_tpu.parallel.mesh import (
     IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.utils import dist
-from hydra_tpu.utils.slice_sampler import slice_sample
+from hydra_tpu.utils.slice_sampler import (slice_noise, slice_sample,
+                                           slice_sample_noise)
+
+# fixed slice-sampling budgets for the per-marker beta draws (shared by the
+# window path, the mega kernel's precomputed schedules, and slice_noise)
+N_EXPAND, N_SHRINK = 10, 24
 
 EULER_MASCHERONI = 0.577215664901532  # EuMasc, BayesW.cpp:42
 SQRT_PI = 1.77245385090552
@@ -347,12 +352,20 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                     - x * x / two_ck_sg)
 
         draw_mask = (comp > 0) & act_w
-        bkey = bkeys_w[0]  # one key per window for the shared slice schedule
-        bnew = slice_sample(beta_logf, bold_w, bkey,
-                            width=jnp.maximum(safe_limit / 5.0, 1e-3),
-                            lower=bold_w - safe_limit,
-                            upper=bold_w + safe_limit,
-                            mask=draw_mask)
+        # PER-MARKER slice schedules, keyed by global slot id (bkeys_w):
+        # the beta draw stream is independent of window width and device
+        # count, and each window's joint draw is conditionally independent
+        # given eps — like the reference's sequential rand() stream
+        # (BayesW_arms.cpp:913-917), minus the sequential coupling.
+        le_w, ub_w, uu_w = jax.vmap(
+            lambda k: slice_noise(k, (), N_SHRINK))(bkeys_w)
+        bnew = slice_sample_noise(beta_logf, bold_w, le_w, ub_w,
+                                  jnp.transpose(uu_w),
+                                  width=jnp.maximum(safe_limit / 5.0, 1e-3),
+                                  lower=bold_w - safe_limit,
+                                  upper=bold_w + safe_limit,
+                                  n_expand=N_EXPAND, n_shrink=N_SHRINK,
+                                  mask=draw_mask)
         bnew_w = jnp.where(draw_mask, bnew, 0.0)
 
         dbeta = bold_w - bnew_w
@@ -397,7 +410,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                                                    sweep_stale_bw)
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
-        n_shrink, n_expand = 24, 10
+        n_shrink, n_expand = N_SHRINK, N_EXPAND
         pk_shuf = jnp.take(packed, perm, axis=0)
         mave_s = jnp.take(mave, perm)
         sd_s = jnp.take(msd, perm)
@@ -410,23 +423,14 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             lambda i: jax.random.fold_in(marker_site, i))(off + perm)
         u_s = jax.vmap(lambda k: jax.random.uniform(k, (), f32))(keys_s)
 
-        # slice RNG: one shared schedule per window, keyed by the window's
-        # FIRST marker (bkeys_w[0] in window_body) then split exactly as
-        # utils/slice_sampler.slice_sample does
-        wkeys = jax.vmap(
-            lambda k: jax.random.fold_in(k, 1))(keys_s[::W])
-
-        def w_rng(bkey):
-            k_h, k_u, k_s = jax.random.split(bkey, 3)
-            le = jax.random.exponential(k_h, (W,))
-            ub = jax.random.uniform(k_u, (W,))
-            uu = jax.vmap(lambda i: jax.random.uniform(
-                jax.random.fold_in(k_s, i), (W,)))(jnp.arange(n_shrink))
-            return le, ub, uu
-        le_w, ub_w, uu_w = jax.vmap(w_rng)(wkeys)
-        le_s = le_w.reshape(-1)
-        ub_s = ub_w.reshape(-1)
-        uu_s = uu_w.transpose(0, 2, 1).reshape(cfg.m_loc, n_shrink)
+        # slice RNG: PER-MARKER schedules keyed by global slot id — the
+        # exact noise window_body's slice_sample_noise consumes, so the
+        # mega path continues the identical chain
+        bkeys_s = jax.vmap(
+            lambda k: jax.random.fold_in(k, 1))(keys_s)
+        le_s, ub_s, uu_m = jax.vmap(
+            lambda k: slice_noise(k, (), n_shrink))(bkeys_s)
+        uu_s = uu_m                                     # (m_loc, n_shrink)
 
         ab_s = alpha * bold_s
         e0_s = jnp.exp(ab_s * (0.0 - mave_s) * inv_sd_s)

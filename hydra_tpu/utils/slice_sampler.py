@@ -26,6 +26,21 @@ import jax
 import jax.numpy as jnp
 
 
+def slice_noise(key: jax.Array, shape=(), n_shrink: int = 24):
+    """The randomness one slice transition consumes, drawn from `key`:
+    (log_exp (shape,), u_bracket (shape,), u_shrink (n_shrink,) + shape).
+
+    Split exactly as slice_sample does internally; callers that need
+    per-target keys (e.g. per-marker schedules) vmap this over keys and
+    pass the stacked noise to slice_sample_noise."""
+    k_h, k_u, k_s = jax.random.split(key, 3)
+    le = jax.random.exponential(k_h, shape)
+    ub = jax.random.uniform(k_u, shape)
+    uu = jax.vmap(lambda i: jax.random.uniform(
+        jax.random.fold_in(k_s, i), shape))(jnp.arange(n_shrink))
+    return le, ub, uu
+
+
 def slice_sample(
     logf: Callable,
     x0: jax.Array,
@@ -52,12 +67,36 @@ def slice_sample(
           different fusion boundaries break bitwise equality between
           step() and run_steps() dispatches, so it is off by default.
     """
-    shape = jnp.shape(x0)
-    k_h, k_u, k_s = jax.random.split(key, 3)
-    f0 = logf(x0)
-    log_y = f0 - jax.random.exponential(k_h, shape)
+    le, ub, uu = slice_noise(key, jnp.shape(x0), n_shrink)
+    return slice_sample_noise(logf, x0, le, ub, uu, width, lower, upper,
+                              n_expand=n_expand, n_shrink=n_shrink,
+                              mask=mask, unroll=unroll)
 
-    u = jax.random.uniform(k_u, shape)
+
+def slice_sample_noise(
+    logf: Callable,
+    x0: jax.Array,
+    log_exp: jax.Array,     # (B,) exponential draws for the level
+    u_bracket: jax.Array,   # (B,) uniforms placing the initial bracket
+    u_shrink: jax.Array,    # (n_shrink,) + (B,) shrink-step uniforms
+    width,
+    lower=-jnp.inf,
+    upper=jnp.inf,
+    n_expand: int = 10,
+    n_shrink: int = 24,
+    mask=None,
+    unroll: bool = False,
+) -> jax.Array:
+    """slice_sample with the randomness passed in explicitly (slice_noise).
+
+    Lets callers key the schedule per target (e.g. per MARKER by global
+    slot id, so the draw stream is independent of window width and device
+    count) while the transition math stays identical."""
+    shape = jnp.shape(x0)
+    f0 = logf(x0)
+    log_y = f0 - log_exp
+
+    u = u_bracket
     width = jnp.broadcast_to(jnp.asarray(width, x0.dtype), shape)
     left = x0 - width * u
     right = left + width
@@ -83,7 +122,7 @@ def slice_sample(
 
     def shrink_body(i, carry):
         left, right, x, accepted = carry
-        uu = jax.random.uniform(jax.random.fold_in(k_s, i), shape)
+        uu = u_shrink[i]
         xc = left + uu * (right - left)
         ok = logf(xc) > log_y
         take = ok & jnp.logical_not(accepted)

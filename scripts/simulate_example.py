@@ -76,6 +76,23 @@ def main():
         fh.write(f"h2_est {h2_tot}\na1 {va[0] / y.var()}\na2 {va[1] / y.var()}\n"
                  f"var_g {gval.var()}\nvar_e {e.var()}\n")
 
+    # second normal phenotype (independent causal set, same h2 split) for
+    # multi-trait validation — validate_example.py --model mt
+    beta2 = np.zeros(m)
+    for g, h2 in ((0, args.h2_g0), (1, args.h2_g1)):
+        idx = np.nonzero(groups == g)[0]
+        causal = rs.choice(idx, max(1, int(len(idx) * args.frac_causal)), False)
+        beta2[causal] = rs.randn(len(causal)) * np.sqrt(h2 / len(causal))
+    gval2 = x.T @ beta2
+    e2 = rs.randn(n) * np.sqrt(max(1e-6, 1.0 - gval2.var()))
+    y2 = gval2 + e2
+    with open(os.path.join(args.out, "normal2.phen"), "w") as fh:
+        for i in range(n):
+            fh.write(f"per{i} per{i} {y2[i]:.15f}\n")
+    np.savetxt(os.path.join(args.out, "normal2.beta"), beta2)
+    with open(os.path.join(args.out, "normal2.h2"), "w") as fh:
+        fh.write(f"h2_est {gval2.var() / y2.var()}\n")
+
     # Weibull survival phenotype (BayesW generative model)
     alpha = args.alpha_weibull
     noise_var = (np.pi**2 / 6.0) / alpha**2
