@@ -60,6 +60,278 @@ def mrow_width(k: int) -> int:
     return N_FIXED + 3 * k - 2
 
 
+def _sweep_sd_kernel(K: int, n_sub: int, complete: bool, PREC,
+                     pk_ref, mrow_ref, eps_in_ref, mask_ref, sc_ref,
+                     out_ref, eps_ref, planes_s, mplanes_s, depa_s):
+    """Single-decode sub-window step: decode ONCE into VMEM scratch, use
+    the planes for both the stats reduce and the axpy MXU dots.
+
+    Grid (n_windows, n_sub): each step handles Wt = W/n_sub markers over
+    the FULL byte range. Window semantics are preserved exactly — the
+    residual update accumulates into depa_s and is applied to the resident
+    eps only at the window's last sub-step, so every marker in the window
+    reads the same stale residual regardless of Wt."""
+    w = pl.program_id(0)
+    s = pl.program_id(1)
+    km1 = K - 1
+    Wt = pk_ref.shape[0]
+
+    @pl.when((w == 0) & (s == 0))
+    def _():
+        eps_ref[:, :] = eps_in_ref[:, :]
+
+    @pl.when(s == 0)
+    def _():
+        depa_s[:, :] = jnp.zeros_like(depa_s)
+
+    # The whole step body lives under a (vacuous) pl.when: shard_map's vma
+    # checker rejects literal-operand binary ops (shifts, muls) on varying
+    # block values at the interpret-mode top level, but accepts them inside
+    # cond-discharged sub-jaxprs — the same structure the two-phase kernel
+    # gets from its phase pl.whens.
+    @pl.when(w >= 0)
+    def _step():
+        _sd_step(K, n_sub, complete, PREC, pk_ref, mrow_ref, mask_ref,
+                 sc_ref, out_ref, eps_ref, planes_s, mplanes_s, depa_s, s)
+
+
+def _sd_step(K, n_sub, complete, PREC, pk_ref, mrow_ref, mask_ref, sc_ref,
+             out_ref, eps_ref, planes_s, mplanes_s, depa_s, s):
+    km1 = K - 1
+    Wt = pk_ref.shape[0]
+    pk32 = pk_ref[:, :].astype(jnp.int32)          # (Wt, NB)
+
+    # ---- decode once; planes to scratch (bf16 — {0,1,2} is EXACT in
+    # bf16, halving the VMEM round trip and letting the axpy run
+    # single-pass bf16 MXU dots with exact f32 accumulation); stats
+    # reduce on the VPU from the just-decoded f32 registers ----
+    s1 = None
+    s2 = None
+    for k in range(4):
+        e = eps_ref[k:k + 1, :]                    # (1, NB)
+        if complete:
+            g = _decode_h_int(pk32, k)             # h = 2 - geno
+            planes_s[k * Wt:(k + 1) * Wt, :] = g.astype(jnp.bfloat16)
+            a = jnp.sum(g * e, axis=1, keepdims=True)   # hs1 contribution
+            b = jnp.sum(e).reshape(1, 1)           # mask dot == sum(eps)
+        else:
+            g, m = _decode_k(pk32, k)
+            planes_s[k * Wt:(k + 1) * Wt, :] = g.astype(jnp.bfloat16)
+            mplanes_s[k * Wt:(k + 1) * Wt, :] = m.astype(jnp.bfloat16)
+            a = jnp.sum(g * e, axis=1, keepdims=True)
+            b = jnp.sum(m * e, axis=1, keepdims=True)
+        s1 = a if s1 is None else s1 + a
+        s2 = b if s2 is None else s2 + b
+
+    # ---- component + beta draw for the sub-window, (1, Wt) row layout ----
+    i2se = sc_ref[0, 0]
+    dNm1 = sc_ref[0, 1]
+    mave = mrow_ref[0:1, :]
+    mstd = mrow_ref[1:2, :]
+    bold = mrow_ref[2:3, :]
+    u = mrow_ref[3:4, :]
+    nrm = mrow_ref[4:5, :]
+    act = mrow_ref[5:6, :]
+    if complete:   # s1 = 2*sum(eps) - hs1 (h-decode)
+        s2v = s2
+        s1v = 2.0 * s2v - jnp.transpose(s1)
+    else:
+        s2v = jnp.transpose(s2)
+        s1v = jnp.transpose(s1)
+    num0 = mstd * (s1v - mave * s2v) + bold * dNm1         # (1, Wt)
+
+    bl, bi, bs = N_FIXED, N_FIXED + K, N_FIXED + 2 * K - 1
+    logls = [mrow_ref[bl:bl + 1, :]]
+    muks = []
+    for j in range(km1):
+        muk = num0 * mrow_ref[bi + j:bi + j + 1, :]
+        muks.append(muk)
+        logls.append(mrow_ref[bl + 1 + j:bl + 2 + j, :]
+                     + muk * num0 * i2se)
+    mx = logls[0]
+    for l in logls[1:]:
+        mx = jnp.maximum(mx, l)
+    prs = [jnp.exp(l - mx) for l in logls]
+    sm = prs[0]
+    for p in prs[1:]:
+        sm = sm + p
+    probs = [p / sm for p in prs]
+    cum = probs[0]
+    compf = jnp.where(u > cum, 1.0, 0.0)
+    for j in range(1, km1):
+        cum = cum + probs[j]
+        compf = compf + jnp.where(u > cum, 1.0, 0.0)
+    bnz = jnp.zeros_like(num0)
+    for j in range(km1):
+        sel = jnp.where(compf == float(j + 1), 1.0, 0.0)
+        bnz = bnz + sel * (muks[j] + nrm * mrow_ref[bs + j:bs + j + 1, :])
+    pos = jnp.where(compf > 0.0, 1.0, 0.0)
+    bnew = bnz * pos * act
+    compf = compf * act
+    acum = probs[0] * act + (1.0 - act)
+    dbeta = bold - bnew
+    c1 = dbeta * mstd                              # (1, Wt)
+    c2 = -c1 * mave
+    # bf16 hi/lo split of the coefficients; the planes are bf16-exact, so
+    # each bf16 x bf16 -> f32-accumulate dot is EXACT and single-pass
+    c1h = c1.astype(jnp.bfloat16)
+    c1l = (c1 - c1h.astype(f32)).astype(jnp.bfloat16)
+    out_ref[0:1, :] = bnew
+    out_ref[1:2, :] = compf
+    out_ref[2:3, :] = acum
+    out_ref[3:4, :] = dbeta
+    out_ref[4:8, :] = jnp.zeros_like(out_ref[4:8, :])
+
+    # ---- axpy from the SAME planes (no second decode) ----
+    if complete:
+        csum = (2.0 * jnp.sum(c1) + jnp.sum(c2)).reshape(1, 1)
+    else:
+        c2h = c2.astype(jnp.bfloat16)
+        c2l = (c2 - c2h.astype(f32)).astype(jnp.bfloat16)
+    for k in range(4):
+        g = planes_s[k * Wt:(k + 1) * Wt, :]
+        if complete:
+            d = (csum
+                 - jnp.dot(c1h, g, precision=PREC,
+                           preferred_element_type=f32)
+                 - jnp.dot(c1l, g, precision=PREC,
+                           preferred_element_type=f32))
+        else:
+            m = mplanes_s[k * Wt:(k + 1) * Wt, :]
+            d = (jnp.dot(c1h, g, precision=PREC,
+                         preferred_element_type=f32)
+                 + jnp.dot(c1l, g, precision=PREC,
+                           preferred_element_type=f32)
+                 + jnp.dot(c2h, m, precision=PREC,
+                           preferred_element_type=f32)
+                 + jnp.dot(c2l, m, precision=PREC,
+                           preferred_element_type=f32))
+        depa_s[k:k + 1, :] += d
+
+    # ---- window boundary: apply the accumulated update ----
+    @pl.when(s == n_sub - 1)
+    def _():
+        if complete:
+            # pad lanes carry the csum constant — nulled by the mask
+            eps_ref[:, :] += depa_s[:, :] * mask_ref[:, :]
+        else:
+            # pad bytes are the missing code: g == m == 0 -> depa is
+            # already zero on pad lanes
+            eps_ref[:, :] += depa_s[:, :]
+
+
+def sd_sub_window(window: int, nb: int, complete: bool,
+                  budget: int = 3584 * 1024) -> int:
+    """Sub-window for the single-decode kernel — OPT-IN ONLY (set
+    HYDRA_TPU_SD=<Wt> or =auto); returns 0 (two-phase kernel) by default.
+
+    MEASURED NEGATIVE RESULT (v5e, 2026-08-19, M=100K x N=50K W=256):
+    single-decode 41.39 ms/sweep (105.9 us/window) vs two-phase 37.89 ms
+    (96.9 us/window) — identical at Wt=16/f32 and Wt=32/bf16 scratch.
+    Staging the decoded planes through VMEM scratch (write + read back
+    ~2 vector ops/element) plus the shallow-k MXU axpy (k=Wt<=32 wastes
+    3/4 of the systolic array vs the two-phase k=W=256 dots) costs more
+    than the ~6-op second decode it eliminates. Wt=64 f32 exceeds the
+    16 MB scoped VMEM (19.1 MB). The sweep already sits at ~1.5x the
+    VPU-decode roofline (96.9 vs ~65 us) after the h-decode work — the
+    decode is cheap enough that recompute beats any staging level
+    (HBM int8 planes: 15x worse, ops/planes.py; VMEM planes: 9% worse).
+
+    Scratch = 8*Wt*NB bytes (4 bf16 genotype planes) in complete mode,
+    twice that with a mask plane set (missing genotypes)."""
+    import os
+    ov = os.environ.get("HYDRA_TPU_SD", "")
+    if not ov or ov == "0":
+        return 0
+    if ov != "auto":
+        return int(ov)
+    per = 8 * nb * (2 if not complete else 1)
+    wt = min(window, max(8, (budget // per) // 8 * 8))
+    while wt >= 8 and window % wt:
+        wt -= 8
+    return wt if wt >= 8 and per * wt <= budget else 0
+
+
+def sweep_stale_sd(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
+                   i_2se, dNm1, *, window: int, sub_window: int, n_mix: int,
+                   complete: bool, ind_mask4: Optional[jax.Array] = None,
+                   vma=None, interpret: bool = False
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Single-decode variant of sweep_stale: each window's packed bytes are
+    decoded ONCE (VERDICT r2 next #1 — the sweep was VPU-decode-bound with
+    stats and axpy each decoding; this halves the decode bound).
+
+    Gated by VMEM: the decoded planes of `sub_window` markers x full NB
+    must fit scratch (sd_sub_window). Semantics identical to sweep_stale —
+    same RNG, same stale-window boundaries — up to f32 accumulation order
+    (stats are bitwise-equal per marker; the axpy accumulates in Wt-sized
+    MXU chunks instead of one W-chunk).
+    """
+    m_loc, NB = pk_shuf.shape
+    W, Wt = window, sub_window
+    assert mrow.shape[1] == mrow_width(n_mix), (mrow.shape, n_mix)
+    assert m_loc % W == 0 and W % Wt == 0, (m_loc, W, Wt)
+    if complete and ind_mask4 is None:
+        raise ValueError("complete sweep needs ind_mask4")
+    n_windows = m_loc // W
+    n_sub = W // Wt
+    n_blocks = m_loc // Wt
+    C = mrow.shape[1]
+
+    c_pad = -(-C // 8) * 8
+    mrow_t = jnp.transpose(mrow.reshape(n_blocks, Wt, C), (0, 2, 1))
+    mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
+    mrow_t = mrow_t.reshape(n_blocks * c_pad, Wt)
+    if complete:
+        mask4 = ind_mask4
+    else:
+        mask4 = jnp.zeros((4, NB), f32)   # unused placeholder
+    sc = jnp.stack([jnp.asarray(i_2se, f32),
+                    jnp.asarray(dNm1, f32)]).reshape(1, 2)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_windows, n_sub),
+        in_specs=[
+            pl.BlockSpec((Wt, NB), lambda w, s: (w * n_sub + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, Wt),
+                         lambda w, s: (w * n_sub + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda w, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda w, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, Wt), lambda w, s: (w * n_sub + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NB), lambda w, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4 * Wt, NB), jnp.bfloat16),     # decoded g planes
+            pltpu.VMEM((4 * Wt if not complete else 8, NB),
+                       jnp.bfloat16),                   # mask planes
+            pltpu.VMEM((4, NB), f32),                   # d_eps accumulator
+        ],
+    )
+    out, eps_out = pl.pallas_call(
+        functools.partial(_sweep_sd_kernel, n_mix, n_sub, complete,
+                          jax.lax.Precision.HIGHEST if interpret else None),
+        grid_spec=grid_spec,
+        out_shape=[sds((n_blocks * 8, Wt)), sds((4, NB))],
+        interpret=interpret,
+    )(pk_shuf, mrow_t, eps_d, mask4, sc)
+    out4 = out.reshape(n_blocks, 8, Wt)[:, :4, :]
+    return eps_out, out4.transpose(0, 2, 1).reshape(m_loc, 4)
+
+
 def _sweep_kernel(K: int, n_tiles: int, complete: bool, PREC,
                   pk_ref, mrow_ref, eps_in_ref, mask_ref, sc_ref,
                   out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):

@@ -483,7 +483,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         # update in ONE launch with eps resident in VMEM. Same math as
         # window_body's stale branch (draw_rows), one XLA gather/scatter
         # per sweep instead of per window.
-        from hydra_tpu.ops.sweep_kernel import mrow_width, sweep_stale
+        from hydra_tpu.ops.sweep_kernel import (mrow_width, sd_sub_window,
+                                                sweep_stale, sweep_stale_sd)
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         km1 = cfg.k - 1
@@ -520,11 +521,25 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
              logl_static, inv_denomk, sd_k], axis=1)
         assert mrow.shape[1] == mrow_width(cfg.k)
 
-        eps_new_d, out_m = sweep_stale(
-            pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
-            window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
-            ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
-            vma=vma_axes, interpret=cfg.interpret)
+        # single-decode variant (decode each window's bytes ONCE through a
+        # VMEM plane scratch) — opt-in experiment only: hardware-measured
+        # 9% SLOWER than the two-phase kernel at M=100K x N=50K (the
+        # staging + shallow-k MXU axpy outweigh the saved decode; see
+        # sd_sub_window docstring for the numbers). Default returns 0.
+        wt_sd = sd_sub_window(cfg.window, packed.shape[1], cfg.complete)
+        if wt_sd:
+            eps_new_d, out_m = sweep_stale_sd(
+                pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
+                window=cfg.window, sub_window=wt_sd, n_mix=cfg.k,
+                complete=cfg.complete,
+                ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
+                vma=vma_axes, interpret=cfg.interpret)
+        else:
+            eps_new_d, out_m = sweep_stale(
+                pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
+                window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
+                vma=vma_axes, interpret=cfg.interpret)
         # numerically the identity (mega is gated to n_dev == 1) but marks
         # the residual replicated again for shard_map's vma checker — the
         # mega path's analogue of window_body's per-window hier_psum

@@ -91,3 +91,48 @@ def test_mega_matches_window_path_fh():
     np.testing.assert_allclose(np.asarray(sr.lambda_var),
                                np.asarray(sm.lambda_var),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_sd_sub_windowing_matches_two_phase():
+    """sweep_stale_sd with sub_window < window (d_eps accumulated across
+    sub-steps, applied at the window boundary) must match the two-phase
+    kernel: identical stats per marker, identical draws, eps equal up to
+    f32 accumulation order of the chunked axpy."""
+    from hydra_tpu.ops.sweep_kernel import (mrow_width, sweep_stale,
+                                            sweep_stale_sd)
+
+    rs = np.random.RandomState(3)
+    m, NB, W, K = 64, 256, 32, 4
+    geno = rs.randint(0, 3, (m, 4 * NB)).astype(np.uint8)
+    code = np.select([geno == 0, geno == 1, geno == 2],
+                     [0b11, 0b10, 0b00]).astype(np.uint8)
+    pk = (code[:, 0::4] | (code[:, 1::4] << 2) | (code[:, 2::4] << 4)
+          | (code[:, 3::4] << 6)).astype(np.uint8)
+    eps_d = rs.randn(4, NB).astype(np.float32)
+    mask = np.ones((4, NB), np.float32)
+
+    C = mrow_width(K)
+    mrow = np.zeros((m, C), np.float32)
+    mrow[:, 0] = rs.uniform(0.2, 1.8, m)           # mave
+    mrow[:, 1] = rs.uniform(0.8, 1.6, m)           # mstd
+    mrow[:, 2] = rs.randn(m) * 0.02                # beta_old
+    mrow[:, 3] = rs.uniform(0, 1, m)               # u
+    mrow[:, 4] = rs.randn(m)                       # nrm
+    mrow[:, 5] = 1.0                               # act
+    mrow[:, 6:6 + K] = np.log(rs.dirichlet(np.ones(K), m))
+    mrow[:, 6 + K:6 + 2 * K - 1] = rs.uniform(8e-4, 1.2e-3, (m, K - 1))
+    mrow[:, 6 + 2 * K - 1:] = rs.uniform(0.02, 0.04, (m, K - 1))
+
+    args = (jnp.asarray(pk), jnp.asarray(eps_d), jnp.asarray(mrow),
+            jnp.float32(0.7), jnp.float32(999.0))
+    kw = dict(window=W, n_mix=K, complete=True,
+              ind_mask4=jnp.asarray(mask), interpret=True)
+    eps_a, out_a = sweep_stale(*args, **kw)
+    for wt in (8, 16, 32):
+        eps_b, out_b = sweep_stale_sd(*args, sub_window=wt, **kw)
+        np.testing.assert_array_equal(np.asarray(out_a[:, 1]),
+                                      np.asarray(out_b[:, 1]))  # components
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   rtol=2e-5, atol=2e-6, err_msg=f"wt={wt}")
+        np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
+                                   rtol=1e-4, atol=2e-5, err_msg=f"wt={wt}")
