@@ -332,6 +332,233 @@ def sweep_stale_sd(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     return eps_out, out4.transpose(0, 2, 1).reshape(m_loc, 4)
 
 
+def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
+                        pk_ref, mrow_ref, mcol_ref, eps_in_ref, sc_ref,
+                        out_ref, eps_ref, s1_s, s2_s, gram_s, c_s):
+    """Whole-sweep EXACT-mode kernel: per window, phase 0 accumulates
+    s1/s2 AND the window Gram over byte tiles, then runs the W-step
+    sequential recurrence (the window_gibbs one-hot loop) in VMEM; phase 1
+    applies the axpy. One launch per sweep — exact sequential Gibbs at the
+    stale mega-kernel's launch cost (the per-window exact path pays three
+    kernel launches + XLA glue per window).
+
+    Always decodes the full (g, m) pair: the Gram needs the mask to zero
+    pad/missing columns of x~ (see window_kernels.window_stats)."""
+    w = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    km1 = K - 1
+    W = out_ref.shape[1]
+
+    @pl.when((w == 0) & (ph == 0))
+    def _():
+        eps_ref[t] = eps_in_ref[t]
+
+    pk32 = pk_ref[:, :].astype(jnp.int32)      # (W, tb)
+
+    @pl.when(ph == 0)
+    def _stats():
+        @pl.when(t == 0)
+        def _():
+            s1_s[:, :] = jnp.zeros_like(s1_s)
+            s2_s[:, :] = jnp.zeros_like(s2_s)
+            gram_s[:, :] = jnp.zeros_like(gram_s)
+
+        et = eps_ref[t]                        # (4, tb)
+        mave_c = mcol_ref[:, 0:1]              # (W, 1)
+        mstd_c = mcol_ref[:, 1:2]
+        s1 = None
+        s2 = None
+        for k in range(4):
+            g, m = _decode_k(pk32, k)
+            e = et[k:k + 1, :]
+            a = jnp.sum(g * e, axis=1, keepdims=True)
+            b = jnp.sum(m * e, axis=1, keepdims=True)
+            s1 = a if s1 is None else s1 + a
+            s2 = b if s2 is None else s2 + b
+            x = (g - mave_c * m) * mstd_c      # (W, tb) standardized
+            # manual 3-pass f32 Gram (Mosaic ignores precision=HIGHEST for
+            # in-kernel dot_general — see window_kernels._stats_kernel)
+            xh = x.astype(jnp.bfloat16).astype(f32)
+            xl = x - xh
+            ct = (((1,), (1,)), ((), ()))
+            gram_s[:, :] += (
+                jax.lax.dot_general(xh, xh, ct, precision=PREC,
+                                    preferred_element_type=f32)
+                + jax.lax.dot_general(xh, xl, ct, precision=PREC,
+                                      preferred_element_type=f32)
+                + jax.lax.dot_general(xl, xh, ct, precision=PREC,
+                                      preferred_element_type=f32))
+        s1_s[:, :] += s1
+        s2_s[:, :] += s2
+
+        # ---- W-step sequential recurrence on the last tile ----
+        @pl.when(t == n_tiles - 1)
+        def _recur():
+            i2se = sc_ref[0, 0]
+            dNm1 = sc_ref[0, 1]
+            mave = mrow_ref[0:1, :]
+            mstd = mrow_ref[1:2, :]
+            bold = mrow_ref[2:3, :]
+            num0 = (mstd * (jnp.transpose(s1_s[:, :])
+                            - mave * jnp.transpose(s2_s[:, :]))
+                    + bold * dNm1)                      # (1, W)
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            bl, bi, bs = N_FIXED, N_FIXED + K, N_FIXED + 2 * K - 1
+
+            def step(j, _):
+                onehot = (lanes == j).astype(f32)        # (1, W)
+                col = jnp.sum(mrow_ref[:, :] * onehot, axis=1,
+                              keepdims=True)             # (c_pad, 1)
+                dbeta_row = out_ref[3:4, :]
+                grow = gram_s[pl.ds(j, 1), :]            # (1, W)
+                corr = jnp.sum(grow * dbeta_row)
+                num = jnp.sum(num0 * onehot) + corr
+
+                logls = [col[bl, 0]]
+                muks, sds = [], []
+                for k in range(km1):
+                    mu_k = num * col[bi + k, 0]
+                    muks.append(mu_k)
+                    sds.append(col[bs + k, 0])
+                    logls.append(col[bl + 1 + k, 0] + mu_k * num * i2se)
+                mx = logls[0]
+                for k in range(1, K):
+                    mx = jnp.maximum(mx, logls[k])
+                prs = [jnp.exp(jnp.maximum(v - mx, -60.0)) for v in logls]
+                s = prs[0]
+                for k in range(1, K):
+                    s = s + prs[k]
+                u_s = col[3, 0] * s                      # R_U = mrow row 3
+                cum = prs[0]
+                comp = jnp.int32(0)
+                for k in range(km1):
+                    comp = comp + jnp.where(u_s > cum, 1, 0)
+                    cum = cum + prs[k + 1]
+                comp = jnp.minimum(comp, km1)
+                ksel = jnp.maximum(comp - 1, 0)
+                mu_sel = f32(0.0)
+                sd_sel = f32(0.0)
+                for k in range(km1):
+                    mu_sel = jnp.where(ksel == k, muks[k], mu_sel)
+                    sd_sel = jnp.where(ksel == k, sds[k], sd_sel)
+                act = col[5, 0] > 0                      # R_ACT = row 5
+                beta_new = jnp.where((comp > 0) & act,
+                                     mu_sel + col[4, 0] * sd_sel, 0.0)
+                comp = jnp.where(act, comp, 0)
+                acum0 = jnp.where(act, prs[0] / s, 1.0)
+                dbeta_j = col[2, 0] - beta_new           # R_BOLD = row 2
+                out_ref[0:1, :] += beta_new * onehot
+                out_ref[1:2, :] += comp.astype(f32) * onehot
+                out_ref[2:3, :] += acum0 * onehot
+                out_ref[3:4, :] += dbeta_j * onehot
+                return 0
+
+            jax.lax.fori_loop(0, W, step, 0)
+
+            c1 = out_ref[3:4, :] * mstd
+            c2 = -c1 * mave
+            c1h = c1.astype(jnp.bfloat16).astype(f32)
+            c_s[0:1, :] = c1h
+            c_s[1:2, :] = c1 - c1h
+            c2h = c2.astype(jnp.bfloat16).astype(f32)
+            c_s[2:3, :] = c2h
+            c_s[3:4, :] = c2 - c2h
+
+    @pl.when(ph == 1)
+    def _axpy():
+        c1h = c_s[0:1, :]
+        c1l = c_s[1:2, :]
+        c2h = c_s[2:3, :]
+        c2l = c_s[3:4, :]
+        for k in range(4):
+            g, m = _decode_k(pk32, k)
+            d = (jnp.dot(c1h, g, precision=PREC, preferred_element_type=f32)
+                 + jnp.dot(c1l, g, precision=PREC,
+                           preferred_element_type=f32)
+                 + jnp.dot(c2h, m, precision=PREC,
+                           preferred_element_type=f32)
+                 + jnp.dot(c2l, m, precision=PREC,
+                           preferred_element_type=f32))
+            eps_ref[t, k:k + 1, :] += d
+
+
+def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
+                mcol: jax.Array, i_2se, dNm1, *, window: int, n_mix: int,
+                tile_bytes: int = 0, vma=None, interpret: bool = False
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Run a full EXACT-mode Gibbs sweep in one kernel launch.
+
+    Like sweep_stale but with the window Gram accumulated in phase 0 and
+    the sequential W-step recurrence (exact sync-rate=1 semantics,
+    BayesRRm.cpp:2044-2060) run in VMEM at each window's last stats tile.
+    Single marker shard only. mcol: (m_loc, 2) = [mave, mstd] columns in
+    the same shuffled order as pk_shuf/mrow.
+
+    Returns (eps_d', out) with out columns [beta_new, comp, acum0, dbeta].
+    """
+    m_loc, NB = pk_shuf.shape
+    assert mrow.shape[1] == mrow_width(n_mix), (mrow.shape, n_mix)
+    assert m_loc % window == 0, (m_loc, window)
+    W = window
+    n_windows = m_loc // W
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0)
+    n_tiles = NB // tb
+    C = mrow.shape[1]
+
+    c_pad = -(-C // 8) * 8
+    mrow_t = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
+    mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
+    mrow_t = mrow_t.reshape(n_windows * c_pad, W)
+    eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
+    sc = jnp.stack([jnp.asarray(i_2se, f32),
+                    jnp.asarray(dNm1, f32)]).reshape(1, 2)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_windows, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 2), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, W), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, 1), f32),    # s1
+            pltpu.VMEM((W, 1), f32),    # s2
+            pltpu.VMEM((W, W), f32),    # window Gram
+            pltpu.VMEM((4, W), f32),    # axpy coeff rows
+        ],
+    )
+    out, eps_out = pl.pallas_call(
+        functools.partial(_sweep_exact_kernel, n_mix, n_tiles,
+                          jax.lax.Precision.HIGHEST if interpret else None),
+        grid_spec=grid_spec,
+        out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
+        interpret=interpret,
+    )(pk_shuf, mrow_t, mcol, eps_t, sc)
+    eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
+    out4 = out.reshape(n_windows, 8, W)[:, :4, :]
+    # out rows: [beta_new, comp, acum, dbeta] -> columns per marker
+    return eps_new, out4.transpose(0, 2, 1).reshape(m_loc, 4)
+
+
 def _sweep_kernel(K: int, n_tiles: int, complete: bool, PREC,
                   pk_ref, mrow_ref, eps_in_ref, mask_ref, sc_ref,
                   out_ref, eps_ref, s1_s, s2_s, c_s, csum_s):

@@ -484,7 +484,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         # window_body's stale branch (draw_rows), one XLA gather/scatter
         # per sweep instead of per window.
         from hydra_tpu.ops.sweep_kernel import (mrow_width, sd_sub_window,
-                                                sweep_stale, sweep_stale_sd)
+                                                sweep_exact, sweep_stale,
+                                                sweep_stale_sd)
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         km1 = cfg.k - 1
@@ -526,8 +527,20 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         # 9% SLOWER than the two-phase kernel at M=100K x N=50K (the
         # staging + shallow-k MXU axpy outweigh the saved decode; see
         # sd_sub_window docstring for the numbers). Default returns 0.
-        wt_sd = sd_sub_window(cfg.window, packed.shape[1], cfg.complete)
-        if wt_sd:
+        wt_sd = 0 if cfg.exact else sd_sub_window(
+            cfg.window, packed.shape[1], cfg.complete)
+        if cfg.exact:
+            # exact-mode mega: stats + Gram + the sequential W-step
+            # recurrence + axpy fused per window, one launch per sweep —
+            # same chain as the per-window exact path (window_stats +
+            # window_gibbs + window_axpy), minus 3 launches and an eps HBM
+            # round trip per window
+            mcol = jnp.stack([mave_s, mstd_s], axis=1)
+            eps_new_d, out_m = sweep_exact(
+                pk_shuf, deinterleave(eps), mrow, mcol, i_2se, dNm1,
+                window=cfg.window, n_mix=cfg.k,
+                vma=vma_axes, interpret=cfg.interpret)
+        elif wt_sd:
             eps_new_d, out_m = sweep_stale_sd(
                 pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
                 window=cfg.window, sub_window=wt_sd, n_mix=cfg.k,
@@ -706,8 +719,10 @@ class BayesRRm:
                      and n_ind == 1 and plane_cache != "off")
         forced_planes = planes_ok and plane_cache == "on"
         # mega="on" forces the whole-sweep kernel beyond the auto gates
-        # (still single-shard stale only); "off" disables it
-        mega_ok = (tpu_f32 and window >= 8 and not exact
+        # (still single-shard only); "off" disables it. Exact mode has its
+        # own mega kernel (ops/sweep_kernel.sweep_exact: stats + Gram +
+        # the in-VMEM W-step recurrence + axpy in one launch per sweep).
+        mega_ok = (tpu_f32 and window >= 8
                    and n_dev == 1 and n_ind == 1 and n_dcn == 1)
         # Auto gates (hw_battery, 2026-08): at n_pad <= 16K the fused
         # sweep removes the dominant launch/glue cost (5.8 -> 1.9 ms at

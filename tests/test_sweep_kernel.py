@@ -136,3 +136,48 @@ def test_sd_sub_windowing_matches_two_phase():
                                    rtol=2e-5, atol=2e-6, err_msg=f"wt={wt}")
         np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
                                    rtol=1e-4, atol=2e-5, err_msg=f"wt={wt}")
+
+
+def _mega_exact_sampler(ds, window, seed, **kw):
+    s = BayesRRm(ds, window=window, exact=True, seed=seed,
+                 mesh=make_mesh(1), **kw)
+    s.cfg = dataclasses.replace(s.cfg, use_mega=True, interpret=True)
+    s._step = s._build_step()
+    s._multi = {}
+    return s
+
+
+def _compare_exact(ds, window, seed=7, iters=3, **kw):
+    ref = BayesRRm(ds, window=window, exact=True, seed=seed,
+                   mesh=make_mesh(1), **kw)
+    mega = _mega_exact_sampler(ds, window, seed, **kw)
+    assert not ref.cfg.use_mega
+    sr = ref.init_state()
+    sm = mega.init_state()
+    for it in range(iters):
+        sr, str_ = ref.step(sr, it)
+        sm, stm = mega.step(sm, it)
+        np.testing.assert_allclose(np.asarray(str_.cass),
+                                   np.asarray(stm.cass))
+    _states_close(sr, sm)
+    return sr, sm
+
+
+def test_exact_mega_matches_window_path():
+    """Exact-mode mega kernel (stats + Gram + in-VMEM recurrence + axpy in
+    one launch) must continue the per-window exact path's chain."""
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=15)
+    _compare_exact(ds, window=32)
+
+
+def test_exact_mega_matches_window_path_w8():
+    ds, _, _ = simulate(m=64, n=256, h2=0.5, seed=19)
+    _compare_exact(ds, window=8)
+
+
+def test_exact_mega_matches_window_path_fh():
+    ds, _, _ = simulate(m=96, n=256, h2=0.5, seed=23)
+    sr, sm = _compare_exact(ds, window=16, seed=9, fh=True)
+    np.testing.assert_allclose(np.asarray(sr.lambda_var),
+                               np.asarray(sm.lambda_var),
+                               rtol=1e-3, atol=1e-5)
