@@ -728,13 +728,24 @@ class BayesRRm:
         # sweep removes the dominant launch/glue cost (5.8 -> 1.9 ms at
         # M=10K x N=5K). At wider N its one-per-sweep full shuffle gather
         # of the packed bytes only amortizes at large M: measured 4.97 vs
-        # 4.63 ms at M=10K x N=50K (loses) but 37.95 vs 39.8 ms at
+        # 4.63 ms at M=10K x N=50K (loses) but 37.9 vs 39.8 ms at
         # M=100K x N=50K (wins). The gather materializes a second shuffled
-        # copy of the packed bytes, so big-M runs must also leave HBM room
-        # (2x packed + eps/outputs under ~12 GB on a 16 GB v5e).
+        # copy of the packed bytes, so big-M runs must leave HBM room —
+        # the M=500K x N=50K north star (2.2x packed = 13.8 GB) runs fine
+        # on a 16 GB v5e and WINS with mega (193.2 vs 205.6 ms/sweep,
+        # 2026-08-19), so the headroom constant admits it.
         packed_bytes = m_loc * (geno.n_pad // 4)
-        mega_auto = (geno.n_pad <= 16384
-                     or (m_loc >= 100_000 and 2.2 * packed_bytes < 12e9))
+        if exact:
+            # exact mega (2026-08-19): wins at small N where launch glue
+            # dominates (4.84 vs 5.93 ms at M=10K x N=5K W=64) but loses
+            # slightly at N=50K M=100K (95.4 vs 92.7 ms — the per-sweep
+            # shuffle gather outweighs the saved glue; W=256 exact is
+            # 115.7 ms, the O(W^2) recurrence+Gram favor W=64)
+            mega_auto = geno.n_pad <= 16384
+        else:
+            mega_auto = (geno.n_pad <= 16384
+                         or (m_loc >= 100_000
+                             and 2.2 * packed_bytes < 14.5e9))
         use_mega = (mega_ok and mega != "off" and not forced_planes
                     and (mega == "on" or mega_auto))
         # Opt-in ONLY (never auto): hardware measurement (hw_battery 5a/5b,
