@@ -31,6 +31,65 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# h-packed DEVICE format ("hpack"): a load-time repack of the PLINK crumbs
+# chosen so the in-kernel decode is minimal. Each 2-bit crumb stores
+# h = 2 - genotype directly, with 3 = missing:
+#
+#     PLINK 00 (geno 2) -> 0      PLINK 10 (geno 1) -> 1
+#     PLINK 11 (geno 0) -> 2      PLINK 01 (missing) -> 3
+#
+# Complete-data consumers then decode a plane with just shift+and+cast
+# (3 ops vs 5 for the arithmetic h-decode of PLINK codes), and the mask
+# falls out of one extra compare. The repack is a byte-level 256-entry
+# LUT applied once on the host before device_put — GenotypeData.packed
+# and every file format stay PLINK-coded; only sampler device arrays and
+# the Pallas kernels speak hpack.
+# ---------------------------------------------------------------------------
+
+_HP_CRUMB = np.array([0, 3, 1, 2], dtype=np.uint8)     # PLINK code -> hpack
+
+
+def _build_hpack_lut() -> np.ndarray:
+    b = np.arange(256, dtype=np.uint16)
+    out = np.zeros(256, dtype=np.uint8)
+    for k in range(4):
+        out |= _HP_CRUMB[(b >> (2 * k)) & 3] << (2 * k)
+    return out
+
+
+HPACK_LUT = _build_hpack_lut()
+# hpack is a crumb bijection; the inverse recovers PLINK coding
+UNHPACK_LUT = np.zeros(256, dtype=np.uint8)
+UNHPACK_LUT[HPACK_LUT] = np.arange(256, dtype=np.uint8)
+
+
+def hpack_bytes(packed: np.ndarray) -> np.ndarray:
+    """PLINK-coded packed bytes -> h-packed device bytes (host-side LUT)."""
+    return HPACK_LUT[packed]
+
+
+def unhpack_bytes(packed: np.ndarray) -> np.ndarray:
+    """h-packed device bytes -> PLINK-coded bytes (inverse of hpack_bytes)."""
+    return UNHPACK_LUT[packed]
+
+
+def decode_planes_hp(packed: jax.Array, dtype=jnp.float32
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """decode_planes for H-PACKED bytes: code c stores h = 2 - geno
+    (missing = 3), so geno = (2 - c) * mask, mask = (c != 3)."""
+    b = packed
+    c0 = b & 3
+    c1 = (b >> 2) & 3
+    c2 = (b >> 4) & 3
+    c3 = (b >> 6) & 3
+    codes = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(*b.shape[:-1], -1)
+    codes = codes.astype(jnp.int32)
+    mask_i = 1 - ((codes + 1) >> 2)                 # 0 iff c == 3
+    geno = ((2 - codes) * mask_i).astype(dtype)
+    return geno, mask_i.astype(dtype)
 
 
 def decode_planes(packed: jax.Array, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:

@@ -76,34 +76,33 @@ def _auto_tile(nb: int, w: int, f32_planes: float) -> int:
 
 
 def _decode_k(pk32, k):
-    """Arithmetic decode of bit-plane k from int32-widened packed bytes.
+    """Decode bit-plane k of H-PACKED bytes (ops/decode.py: crumb stores
+    h = 2 - geno, missing = 3) into (geno, mask) f32 planes.
 
-    No bool vectors (Mosaic i1 relayout is unreliable), no u8 ops (u8 shifts
-    and u8->f32 casts don't legalize): callers pass pk.astype(int32) once.
-    Code 00 -> geno 2, 01 -> missing, 10 -> 1, 11 -> 0.
-    """
-    bit0 = ((pk32 >> (2 * k)) & 1).astype(f32)
-    bit1 = ((pk32 >> (2 * k + 1)) & 1).astype(f32)
-    g = (1.0 - bit0) * (2.0 - bit1)
-    m = 1.0 - bit0 * (1.0 - bit1)
-    return g, m
+    No bool vectors (Mosaic i1 relayout is unreliable), no u8 ops (u8
+    shifts and u8->f32 casts don't legalize): callers pass
+    pk.astype(int32) once. 6 int ops + 2 casts — vs 8+3 for the PLINK
+    coding this replaced (the repack moves decode work to a one-time
+    host LUT)."""
+    c = (pk32 >> (2 * k)) & 3
+    mi = 1 - ((c + 1) >> 2)             # 0 iff missing (c == 3)
+    g = ((2 - c) * mi).astype(f32)
+    return g, mi.astype(f32)
 
 
 def _decode_h_int(pk32, k):
-    """Complement decode h = 2 - g for COMPLETE data: 4 int ops + 1 cast —
-    the cheapest per-plane decode (an all-int g decode needs 5 ops:
-    ((c^3)+1)>>1). h = (c + 1) >> 1 maps 00->0, 10->1, 11->2; consumers
-    reconstruct the genotype dot via
+    """h-plane decode of H-PACKED bytes for COMPLETE data: the crumb IS
+    h = 2 - g, so the decode is shift+and+cast (3 ops — the cheapest
+    possible per-plane decode; the PLINK arithmetic version needed 5).
+    Consumers reconstruct the genotype dot via
         sum_i g_i v_i = 2 * sum_i v_i - sum_i h_i v_i
-    (the 2*sum term is a cheap row reduce the wrapper folds in). The
-    missing code 01 gives h = 1 (g = 1) — in complete mode it occurs only
-    on PAD individuals (padding bytes are 0b01010101), and every
+    (the 2*sum term is a cheap row reduce the wrapper folds in). PAD
+    individuals (padding bytes 0xFF after the repack) give h = 3 — every
     complete-mode consumer nullifies pad lanes: stats/level sums multiply
     by a residual/vi vector that is zero on pads, and the axpy output is
     multiplied by the individual mask (window_axpy docstring contract;
     in-kernel mask_ref in the sweep kernels)."""
-    c = (pk32 >> (2 * k)) & 3
-    return ((c + 1) >> 1).astype(f32)
+    return ((pk32 >> (2 * k)) & 3).astype(f32)
 
 
 def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,

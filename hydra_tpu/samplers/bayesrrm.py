@@ -56,7 +56,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.io.pheno import center_and_scale
-from hydra_tpu.ops.decode import decode_planes
+from hydra_tpu.ops.decode import decode_planes_hp
 from hydra_tpu.parallel.mesh import (
     IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.utils import dist
@@ -276,7 +276,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 gram_fused = psum_i(gram_fused)
             xt = None
         else:
-            A, B = decode_planes(pk, f32)
+            A, B = decode_planes_hp(pk, f32)
             xt = (A - mave_w[:, None] * B) * mstd_w[:, None]      # (W, N_loc)
             base = psum_i(jnp.dot(xt, eps, preferred_element_type=f32, precision=_HI))
             gram_fused = None
@@ -361,7 +361,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             if xt is None:
                 # pallas stats path on a multi-shard mesh: the ring below
                 # ships decoded window planes, so materialize them once
-                A, B = decode_planes(pk, f32)
+                A, B = decode_planes_hp(pk, f32)
                 xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
             if cfg.n_dcn > 1:
                 # hierarchical mesh: ppermute has no linearized-axis form, so
@@ -825,7 +825,12 @@ class BayesRRm:
             shard_i = shard_i2 = rep
         self._shard_i = shard_i
         put = jax.device_put
-        self.packed = put(packed_g, shard_m2)
+        # device bytes are H-PACKED (crumb = 2 - geno, missing = 3): a
+        # one-time host LUT that shrinks every in-kernel plane decode to
+        # shift+and+cast (ops/decode.py). Host-side consumers (planes
+        # build, sparse io, stats) keep the PLINK coding.
+        from hydra_tpu.ops.decode import hpack_bytes
+        self.packed = put(hpack_bytes(packed_g), shard_m2)
         shard_pl = NamedSharding(self.mesh, P(max_, None))
         if cfg.use_planes:
             from hydra_tpu.ops.planes import build_planes_host

@@ -39,7 +39,7 @@ _HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
-from hydra_tpu.ops.decode import decode_planes
+from hydra_tpu.ops.decode import decode_planes_hp
 from hydra_tpu.parallel.mesh import (
     IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.samplers.bayesrrm import S02E, S02F, V0E, V0G_DEFAULT, S02G_DEFAULT
@@ -183,7 +183,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
                     s1.shape)
             s1, s2 = psum_i(s1), psum_i(s2)
         else:
-            A, B = decode_planes(pk, f32)           # (W, N)
+            A, B = decode_planes_hp(pk, f32)           # (W, N)
             s1 = psum_i(jnp.dot(A, eps, preferred_element_type=f32, precision=_HI))   # (W, T)
             s2 = psum_i(jnp.dot(B, eps, preferred_element_type=f32, precision=_HI))
         num0 = mstd_w * (s1 - mave_w * s2) + bold_w * dNm1[None, :]
@@ -508,7 +508,9 @@ class BayesRRmMT:
             shard_i2 = rep
         self._shard_i2 = shard_i2
         put = jax.device_put
-        self.packed = put(packed_g, shard_mb)
+        # device bytes are H-PACKED (ops/decode.py): minimal in-kernel decode
+        from hydra_tpu.ops.decode import hpack_bytes
+        self.packed = put(hpack_bytes(packed_g), shard_mb)
         self.groups = put(groups_g, shard_m)
         self.mave = put(mave_g, shard_m2)
         self.mstd = put(mstd_g, shard_m2)

@@ -44,7 +44,7 @@ _HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hydra_tpu.data.genotypes import Dataset, shard_layout
-from hydra_tpu.ops.decode import decode_planes
+from hydra_tpu.ops.decode import decode_planes_hp
 from hydra_tpu.parallel.mesh import (
     IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
 from hydra_tpu.utils import dist
@@ -279,7 +279,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
                 b_vi = jnp.sum(vi)
             s1, s2, b_vi = psum_i(s1), psum_i(s2), psum_i(b_vi)
         else:
-            A, B = decode_planes(pk, f32)
+            A, B = decode_planes_hp(pk, f32)
             i1 = ((A == 1.0) & (B == 1.0)).astype(f32)
             i2 = (A == 2.0).astype(f32)
             s1 = psum_i(jnp.dot(i1, vi, preferred_element_type=f32, precision=_HI))
@@ -607,7 +607,9 @@ class BayesW:
             shard_i = shard_i2 = rep
         self._shard_i = shard_i
         put = jax.device_put
-        self.packed = put(packed_g, shard_m2)
+        # device bytes are H-PACKED (ops/decode.py): minimal in-kernel decode
+        from hydra_tpu.ops.decode import hpack_bytes
+        self.packed = put(hpack_bytes(packed_g), shard_m2)
         self.groups = put(groups_g, shard_m)
         self.mave = put(mave_g, shard_m)
         self.msd = put(msd_g, shard_m)

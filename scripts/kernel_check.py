@@ -30,7 +30,7 @@ def main():
     if args.device:
         jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
-    from hydra_tpu.ops.decode import decode_planes
+    from hydra_tpu.ops.decode import decode_planes, hpack_bytes
     from hydra_tpu.ops.gibbs_kernel import window_gibbs
     from hydra_tpu.ops.window_kernels import (
         deinterleave, interleave, window_axpy, window_level_sums, window_stats)
@@ -41,6 +41,9 @@ def main():
     N = 4 * NB
     rs = np.random.RandomState(3)
     packed = jnp.asarray(rs.randint(0, 256, (W, NB), dtype=np.uint8))
+    # kernels consume the H-PACKED device format; the jnp golden path
+    # decodes the original PLINK bytes
+    packed_hp = jnp.asarray(hpack_bytes(np.asarray(packed)))
     eps = jnp.asarray(rs.randn(N).astype(np.float32))
     mave = jnp.asarray(rs.uniform(0.2, 1.8, W).astype(np.float32))
     mstd = jnp.asarray(rs.uniform(0.5, 2.0, W).astype(np.float32))
@@ -69,20 +72,20 @@ def main():
 
     s1, s2, gram = jax.jit(
         lambda p, e, a, s: window_stats(p, deinterleave(e), a, s, True)
-    )(packed, eps, mave, mstd)
+    )(packed_hp, eps, mave, mstd)
     check("window_stats.s1", s1, s1_ref)
     check("window_stats.s2", s2, s2_ref)
     check("window_stats.gram", gram, gram_ref)
 
     c1 = jnp.asarray(rs.randn(W).astype(np.float32) * 0.1)
     c2 = jnp.asarray(rs.randn(W).astype(np.float32) * 0.1)
-    de = jax.jit(lambda p, a, b: interleave(window_axpy(p, a, b)))(packed, c1, c2)
+    de = jax.jit(lambda p, a, b: interleave(window_axpy(p, a, b)))(packed_hp, c1, c2)
     check("window_axpy", de, c1 @ G + c2 @ Mk)
 
     vi = jnp.abs(eps) + 0.1
     l1, l2, lm = jax.jit(
         lambda p, v: window_level_sums(p, deinterleave(v))
-    )(packed, vi)
+    )(packed_hp, vi)
     check("level_sums.s1", l1, ((G == 1.0) & (Mk == 1.0)).astype(np.float32) @ vi)
     check("level_sums.s2", l2, ((G == 2.0) & (Mk == 1.0)).astype(np.float32) @ vi)
     check("level_sums.sm", lm, Mk @ vi)
@@ -93,8 +96,8 @@ def main():
     for shift in (0, 2, 4, 6):
         code = (pk_np >> shift) & 0b11
         comp |= np.where(code == 0b01, 0b00, code).astype(np.uint8) << shift
-    pkc = jnp.asarray(comp)
-    Gc, _ = decode_planes(pkc, jnp.float32)
+    pkc = jnp.asarray(hpack_bytes(comp))
+    Gc, _ = decode_planes(jnp.asarray(comp), jnp.float32)   # PLINK golden
     s1c, s2c, _ = jax.jit(
         lambda p, e, a, s: window_stats(p, deinterleave(e), a, s, False,
                                         complete=True)
@@ -172,14 +175,14 @@ def main():
     eps_mt = jnp.asarray(rs.randn(N, T).astype(np.float32))
     m1, m2 = jax.jit(
         lambda p, e: window_stats_mt(p, deinterleave_mt(e), T)
-    )(packed, eps_mt)
+    )(packed_hp, eps_mt)
     check("stats_mt.s1", m1, jnp.matmul(G, eps_mt, precision=hi))
     check("stats_mt.s2", m2, jnp.matmul(Mk, eps_mt, precision=hi))
 
     c1m = jnp.asarray(rs.randn(T, W).astype(np.float32) * 0.1)
     c2m = jnp.asarray(rs.randn(T, W).astype(np.float32) * 0.1)
     dem = jax.jit(lambda p, a, b: interleave_mt(window_axpy_mt(p, a, b), T)
-                  )(packed, c1m, c2m)
+                  )(packed_hp, c1m, c2m)
     check("axpy_mt", dem,
           jnp.matmul(G.T, c1m.T, precision=hi)
           + jnp.matmul(Mk.T, c2m.T, precision=hi))
@@ -211,8 +214,8 @@ def main():
 
     eps_m, out_m = jax.jit(lambda p, e, r: sweep_stale(
         p, deinterleave(e), r, i2se_v, dNm1_v, window=W, n_mix=Kmix,
-        complete=False))(jnp.asarray(pk_np), jnp.asarray(eps0),
-                         jnp.asarray(mrow_np))
+        complete=False))(jnp.asarray(hpack_bytes(pk_np)),
+                         jnp.asarray(eps0), jnp.asarray(mrow_np))
     eps_m = np.asarray(interleave(eps_m))
     out_m = np.asarray(out_m)
 
@@ -297,7 +300,7 @@ def main():
             window=W, n_mix=kbw, complete=False,
             ind_mask4=deinterleave(jnp.asarray(mask1)), n_shrink=n_shr,
             interpret=interp))
-        e, o = f(jnp.asarray(pk_bw), jnp.asarray(eps_bw),
+        e, o = f(jnp.asarray(hpack_bytes(pk_bw)), jnp.asarray(eps_bw),
                  jnp.asarray(vi_bw), jnp.asarray(mrow_bw))
         return np.asarray(interleave(e)), np.asarray(o)
 

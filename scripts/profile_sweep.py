@@ -47,7 +47,8 @@ def main():
 
     rs = np.random.RandomState(0)
     geno = rs.binomial(2, 0.3, size=(M, N)).astype(np.uint8)
-    packed = jnp.asarray(_pack_block(geno, bed_bytes_per_marker(N)))
+    from hydra_tpu.ops.decode import hpack_bytes
+    packed = jnp.asarray(hpack_bytes(_pack_block(geno, bed_bytes_per_marker(N))))
     NB = packed.shape[1]
     n_pad = NB * 4
     K = 4
@@ -67,7 +68,7 @@ def main():
         # have act=0 and bold=0, so the padded markers are exact no-ops)
         m_pad = -(-M // w) * w
         pk_p = jnp.concatenate(
-            [packed, jnp.full((m_pad - M, NB), 0b01010101, jnp.uint8)]
+            [packed, jnp.full((m_pad - M, NB), 0xFF, jnp.uint8)]
         ) if m_pad != M else packed
         mrow_p = jnp.concatenate(
             [mrow, jnp.zeros((m_pad - M, mrow.shape[1]), jnp.float32)]

@@ -70,7 +70,10 @@ def _planes_sampler(ds, window, seed, n_shards=1, n_dcn=1):
     assert s.cfg.complete, "planes path is complete-data only"
     s.cfg = dataclasses.replace(s.cfg, use_planes=True, use_mega=False,
                                 interpret=True)
-    packed_g = np.asarray(jax.device_get(s.packed))
+    from hydra_tpu.ops.decode import unhpack_bytes
+
+    # device bytes are h-packed; build_planes_host expects PLINK coding
+    packed_g = unhpack_bytes(np.asarray(jax.device_get(s.packed)))
     s.planes = jax.device_put(
         build_planes_host(packed_g),
         NamedSharding(s.mesh, P(marker_axes(n_dcn), None)))

@@ -101,13 +101,16 @@ def test_sd_sub_windowing_matches_two_phase():
     from hydra_tpu.ops.sweep_kernel import (mrow_width, sweep_stale,
                                             sweep_stale_sd)
 
+    from hydra_tpu.ops.decode import hpack_bytes
+
     rs = np.random.RandomState(3)
     m, NB, W, K = 64, 256, 32, 4
     geno = rs.randint(0, 3, (m, 4 * NB)).astype(np.uint8)
     code = np.select([geno == 0, geno == 1, geno == 2],
                      [0b11, 0b10, 0b00]).astype(np.uint8)
-    pk = (code[:, 0::4] | (code[:, 1::4] << 2) | (code[:, 2::4] << 4)
-          | (code[:, 3::4] << 6)).astype(np.uint8)
+    pk = hpack_bytes(
+        (code[:, 0::4] | (code[:, 1::4] << 2) | (code[:, 2::4] << 4)
+         | (code[:, 3::4] << 6)).astype(np.uint8))
     eps_d = rs.randn(4, NB).astype(np.float32)
     mask = np.ones((4, NB), np.float32)
 

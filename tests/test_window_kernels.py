@@ -4,7 +4,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydra_tpu.ops.decode import decode_planes
+from hydra_tpu.ops.decode import decode_planes, hpack_bytes
+
+
+def _hp(packed):
+    """Kernels consume the H-PACKED device format; decode_planes on the
+    original PLINK bytes stays the golden reference."""
+    return jnp.asarray(hpack_bytes(np.asarray(packed)))
 from hydra_tpu.ops.window_kernels import (
     deinterleave,
     interleave,
@@ -38,14 +44,14 @@ def test_window_stats_parity():
     xt = np.asarray((A - mave[:, None] * B) * mstd[:, None])
     gram_ref = xt @ xt.T
 
-    s1, s2, gram = window_stats(packed, deinterleave(eps), mave, mstd,
+    s1, s2, gram = window_stats(_hp(packed), deinterleave(eps), mave, mstd,
                                 exact=True, interpret=True)
     np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(s2), s2_ref, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(gram), gram_ref,
                                rtol=3e-3, atol=0.5)
 
-    s1b, s2b, gram_b = window_stats(packed, deinterleave(eps), mave, mstd,
+    s1b, s2b, gram_b = window_stats(_hp(packed), deinterleave(eps), mave, mstd,
                                     exact=False, interpret=True)
     np.testing.assert_allclose(np.asarray(s1b), s1_ref, rtol=2e-4)
     assert gram_b is None
@@ -59,7 +65,7 @@ def test_window_axpy_parity():
     c2 = jnp.asarray((rs.randn(W) * 0.01).astype(np.float32))
     A, B = decode_planes(packed, jnp.float32)
     ref = np.asarray(c1) @ np.asarray(A) + np.asarray(c2) @ np.asarray(B)
-    de = interleave(window_axpy(packed, c1, c2, interpret=True))
+    de = interleave(window_axpy(_hp(packed), c1, c2, interpret=True))
     np.testing.assert_allclose(np.asarray(de), ref, rtol=2e-4, atol=1e-5)
 
 
@@ -71,7 +77,7 @@ def test_window_level_sums_parity():
     A, B = decode_planes(packed, jnp.float32)
     i1 = np.asarray(((A == 1.0) & (B == 1.0)))
     i2 = np.asarray(A == 2.0)
-    s1, s2, sb = window_level_sums(packed, deinterleave(vi),
+    s1, s2, sb = window_level_sums(_hp(packed), deinterleave(vi),
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(s1), i1 @ np.asarray(vi), rtol=2e-4)
     np.testing.assert_allclose(np.asarray(s2), i2 @ np.asarray(vi), rtol=2e-4)
@@ -83,7 +89,7 @@ def test_window_stats_multi_tile():
     packed, eps, mave, mstd = _inputs(w=16, n=4096, seed=7)
     A, B = decode_planes(packed, jnp.float32)
     s1_ref = np.asarray(A) @ np.asarray(eps)
-    s1, s2, _ = window_stats(packed, deinterleave(eps), mave, mstd,
+    s1, s2, _ = window_stats(_hp(packed), deinterleave(eps), mave, mstd,
                              exact=False, tile_bytes=256, interpret=True)
     np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4)
 
@@ -103,9 +109,9 @@ def test_window_stats_complete_fast_path():
     packed = jnp.asarray(out)
     A, B = decode_planes(packed, jnp.float32)
     assert float(jnp.min(B)) == 1.0  # complete
-    s1_full, s2_full, _ = window_stats(packed, deinterleave(eps), mave, mstd,
+    s1_full, s2_full, _ = window_stats(_hp(packed), deinterleave(eps), mave, mstd,
                                        exact=False, interpret=True)
-    s1_fast, s2_fast, _ = window_stats(packed, deinterleave(eps), mave, mstd,
+    s1_fast, s2_fast, _ = window_stats(_hp(packed), deinterleave(eps), mave, mstd,
                                        exact=False, interpret=True,
                                        complete=True)
     assert s2_fast is None
@@ -132,8 +138,8 @@ def test_window_axpy_complete_fast_path():
     rs = np.random.RandomState(0)
     c1 = jnp.asarray((rs.randn(16) * 0.1).astype(np.float32))
     c2 = jnp.asarray((rs.randn(16) * 0.1).astype(np.float32))
-    full = window_axpy(packed, c1, c2, interpret=True)
-    fast = (window_axpy(packed, c1, c2, interpret=True, complete=True)
+    full = window_axpy(_hp(packed), c1, c2, interpret=True)
+    fast = (window_axpy(_hp(packed), c1, c2, interpret=True, complete=True)
             + jnp.sum(c2))  # no pad individuals here: mask is all-ones
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
@@ -161,7 +167,7 @@ def test_window_stats_mt_parity():
     A, B = decode_planes(packed, jnp.float32)
     s1_ref = np.asarray(A) @ np.asarray(eps)    # (W, T)
     s2_ref = np.asarray(B) @ np.asarray(eps)
-    s1, s2 = window_stats_mt(packed, deinterleave_mt(eps), T, interpret=True)
+    s1, s2 = window_stats_mt(_hp(packed), deinterleave_mt(eps), T, interpret=True)
     np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2), s2_ref, rtol=2e-4, atol=1e-4)
 
@@ -179,7 +185,7 @@ def test_window_axpy_mt_parity():
     # ref: dEps (N, T) = A^T c1^T + B^T c2^T
     ref = (np.asarray(A).T @ np.asarray(c1).T
            + np.asarray(B).T @ np.asarray(c2).T)
-    out = interleave_mt(window_axpy_mt(packed, c1, c2, interpret=True), T)
+    out = interleave_mt(window_axpy_mt(_hp(packed), c1, c2, interpret=True), T)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-5)
 
 
@@ -191,7 +197,7 @@ def test_window_stats_mt_multi_tile():
     rs = np.random.RandomState(42)
     eps = jnp.asarray(rs.randn(4096, T).astype(np.float32))
     A, B = decode_planes(packed, jnp.float32)
-    s1, s2 = window_stats_mt(packed, deinterleave_mt(eps), T,
+    s1, s2 = window_stats_mt(_hp(packed), deinterleave_mt(eps), T,
                              tile_bytes=256, interpret=True)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(A) @ np.asarray(eps),
                                rtol=2e-4, atol=1e-4)
@@ -216,9 +222,9 @@ def test_window_stats_mt_complete_fast_path():
     packed = _make_complete(packed)
     rs = np.random.RandomState(52)
     eps = jnp.asarray(rs.randn(4096, T).astype(np.float32))
-    s1_full, s2_full = window_stats_mt(packed, deinterleave_mt(eps), T,
+    s1_full, s2_full = window_stats_mt(_hp(packed), deinterleave_mt(eps), T,
                                        interpret=True)
-    s1_fast, s2_fast = window_stats_mt(packed, deinterleave_mt(eps), T,
+    s1_fast, s2_fast = window_stats_mt(_hp(packed), deinterleave_mt(eps), T,
                                        interpret=True, complete=True)
     assert s2_fast is None
     # h-decode changes the f32 accumulation order — compare both paths to
@@ -245,8 +251,8 @@ def test_window_axpy_mt_complete_fast_path():
     rs = np.random.RandomState(62)
     c1 = jnp.asarray((rs.randn(T, W) * 0.01).astype(np.float32))
     c2 = jnp.asarray((rs.randn(T, W) * 0.01).astype(np.float32))
-    full = window_axpy_mt(packed, c1, c2, interpret=True)
-    fast = (window_axpy_mt(packed, c1, c2, interpret=True, complete=True)
+    full = window_axpy_mt(_hp(packed), c1, c2, interpret=True)
+    fast = (window_axpy_mt(_hp(packed), c1, c2, interpret=True, complete=True)
             + jnp.tile(jnp.sum(c2, axis=1), 4)[:, None])
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
