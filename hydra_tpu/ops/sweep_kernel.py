@@ -377,18 +377,18 @@ def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
             s1 = a if s1 is None else s1 + a
             s2 = b if s2 is None else s2 + b
             x = (g - mave_c * m) * mstd_c      # (W, tb) standardized
-            # manual 3-pass f32 Gram (Mosaic ignores precision=HIGHEST for
-            # in-kernel dot_general — see window_kernels._stats_kernel)
+            # manual 2-pass f32 Gram (Mosaic ignores precision=HIGHEST for
+            # in-kernel dot_general); the two cross terms are transposes
+            # of each other — see window_kernels._stats_kernel
             xh = x.astype(jnp.bfloat16).astype(f32)
             xl = x - xh
             ct = (((1,), (1,)), ((), ()))
+            cross = jax.lax.dot_general(xh, xl, ct, precision=PREC,
+                                        preferred_element_type=f32)
             gram_s[:, :] += (
                 jax.lax.dot_general(xh, xh, ct, precision=PREC,
                                     preferred_element_type=f32)
-                + jax.lax.dot_general(xh, xl, ct, precision=PREC,
-                                      preferred_element_type=f32)
-                + jax.lax.dot_general(xl, xh, ct, precision=PREC,
-                                      preferred_element_type=f32))
+                + cross + jnp.transpose(cross))
         s1_s[:, :] += s1
         s2_s[:, :] += s2
 

@@ -136,17 +136,21 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
             s2 = b if s2 is None else s2 + b
         if exact:
             x = (g - mave * m) * mstd
-            # Manual 3-pass f32 matmul: Mosaic quietly ignores
+            # Manual 2-pass f32 matmul: Mosaic quietly ignores
             # precision=HIGHEST for in-kernel dot_general (measured 3.3e-3
             # rel-err on hardware, bf16-level). Splitting into bf16
-            # hi/lo parts and dropping only lo@lo keeps ~1e-5.
+            # hi/lo parts and dropping only lo@lo keeps ~1e-5; the two
+            # cross terms are transposes of each other, so ONE MXU pass +
+            # a (W, W) VPU transpose replaces the third pass (bitwise the
+            # same products and accumulation order).
             xh = x.astype(jnp.bfloat16).astype(f32)
             xl = x - xh
             ct = (((1,), (1,)), ((), ()))
+            cross = jax.lax.dot_general(xh, xl, ct,
+                                        preferred_element_type=f32)
             gram_ref[:, :] += (
                 jax.lax.dot_general(xh, xh, ct, preferred_element_type=f32)
-                + jax.lax.dot_general(xh, xl, ct, preferred_element_type=f32)
-                + jax.lax.dot_general(xl, xh, ct, preferred_element_type=f32))
+                + cross + jnp.transpose(cross))
     s1_ref[:, :] += s1
     if not complete:
         s2_ref[:, :] += s2
