@@ -88,6 +88,86 @@ def test_mt_matches_single_trait_when_duplicated():
     assert np.corrcoef(bm[:, 0], bm[:, 1])[0, 1] > 0.8
 
 
+@pytest.mark.slow
+def test_mt_matches_numpy_golden_model():
+    """TPU mt sampler vs the independent sequential NumPy golden model
+    (testing/reference_bayesrrm_mt.py): same posterior per trait under NaN
+    masks and covariates (VERDICT r2 missing #1, mt leg)."""
+    import dataclasses
+
+    from hydra_tpu.io.plink import decode_bed_numpy
+    from hydra_tpu.testing import reference_bayesrrm_mt as mtref
+
+    ds, phenos, betas = simulate_mt(m=96, n=400, n_traits=2, seed=43,
+                                    na_frac=0.08)
+    rs = np.random.RandomState(43)
+    X = rs.randn(400, 2)
+    g_true = np.array([[1.0, -0.7], [-1.2, 0.5]])
+    phenos = phenos + (X @ g_true).T
+    ds = dataclasses.replace(ds, X=X)
+    m, n, T = ds.geno.m, ds.geno.n, 2
+
+    # independent data prep: decode, per-trait center/scale, masked stats
+    g, miss = decode_bed_numpy(ds.geno.packed, n)
+    tm = np.isfinite(phenos).astype(np.float64).T          # (N, T)
+    nonas = tm.sum(axis=0)
+    y = np.where(tm.T > 0, phenos, 0.0)
+    y = (y - y.sum(1) [:, None] / nonas[:, None]) * tm.T
+    y *= np.sqrt((nonas - 1) / (y * y).sum(1))[:, None]
+    mave = np.zeros((m, T))
+    mstd = np.zeros((m, T))
+    for t in range(T):
+        mt = miss * tm[:, t][None, :]
+        cnt = mt.sum(1)
+        mave[:, t] = (g * mt).sum(1) / cnt
+        var = (mt * (g - mave[:, t][:, None]) ** 2).sum(1)
+        mstd[:, t] = np.sqrt((cnt - 1) / var)
+
+    rng = np.random.RandomState(99)
+    st = dict(eps=(y * tm.T).T, beta=np.zeros((m, T)), mu=np.zeros(T),
+              sigma_g=np.full((T, 1), 0.5),
+              sigma_e=(y ** 2).sum(1) / nonas * 0.5,
+              est_pi=np.tile(np.array([0.5, 0.5 * 0.001 / 0.111,
+                                       0.5 * 0.01 / 0.111,
+                                       0.5 * 0.1 / 0.111]), (T, 1, 1)),
+              gamma=np.zeros((2, T)))
+    h2_np, bsum, gsum, cnt_it = [], 0.0, 0.0, 0
+    for it in range(200):
+        out = mtref.sweep(g, miss, tm, st['eps'], st['beta'], mave, mstd,
+                          ds.groups, ds.mS, st['sigma_g'], st['sigma_e'],
+                          st['mu'], st['est_pi'], rng, x_cov=X,
+                          gamma=st['gamma'])
+        st = {k: out[k] for k in ('eps', 'beta', 'mu', 'sigma_g', 'sigma_e',
+                                  'est_pi', 'gamma')}
+        if it >= 100:
+            sg = out['sigma_g'].sum(axis=1)
+            h2_np.append(sg / (sg + out['sigma_e']))
+            bsum = bsum + out['beta']
+            gsum = gsum + out['gamma']
+            cnt_it += 1
+    h2_np = np.mean(h2_np, axis=0)
+    beta_np = bsum / cnt_it
+    gamma_np = gsum / cnt_it
+
+    s = BayesRRmMT(ds, phenos, window=8, seed=55, mesh=make_mesh(4))
+    st2 = s.init_state()
+    h2s, bacc, gacc = [], 0.0, 0.0
+    for it in range(200):
+        st2, _ = s.step(st2, it)
+        if it >= 100:
+            sg = np.asarray(st2.sigma_g).sum(axis=1)
+            h2s.append(sg / (sg + np.asarray(st2.sigma_e)))
+            bacc = bacc + s.beta_global(st2)
+            gacc = gacc + np.asarray(st2.gamma)
+    h2_tpu = np.mean(h2s, axis=0)
+    beta_tpu = bacc / 100
+    gamma_tpu = gacc / 100
+    for t in range(T):
+        assert abs(h2_tpu[t] - h2_np[t]) < 0.12, (t, h2_tpu, h2_np)
+        assert np.corrcoef(beta_np[:, t], beta_tpu[:, t])[0, 1] > 0.9, t
+    np.testing.assert_allclose(gamma_tpu, gamma_np, atol=0.05)
+
+
 def test_mt_covariate_recovery():
     """Per-trait fixed effects: known gamma recovered per trait under masks
     (the completed generalization of BayesRRm.cpp:2648-2681; the reference's
