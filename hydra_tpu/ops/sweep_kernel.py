@@ -332,9 +332,9 @@ def sweep_stale_sd(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     return eps_out, out4.transpose(0, 2, 1).reshape(m_loc, 4)
 
 
-def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
+def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
                         pk_ref, mrow_ref, mcol_ref, eps_in_ref, sc_ref,
-                        out_ref, eps_ref, s1_s, s2_s, gram_s, c_s):
+                        out_ref, eps_ref, s1_s, s2_s, gram_s, c_s, v_s):
     """Whole-sweep EXACT-mode kernel: per window, phase 0 accumulates
     s1/s2 AND the window Gram over byte tiles, then runs the W-step
     sequential recurrence (the window_gibbs one-hot loop) in VMEM; phase 1
@@ -342,8 +342,13 @@ def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
     stale mega-kernel's launch cost (the per-window exact path pays three
     kernel launches + XLA glue per window).
 
-    Always decodes the full (g, m) pair: the Gram needs the mask to zero
-    pad/missing columns of x~ (see window_kernels.window_stats)."""
+    complete=True (no missing genotypes): the mask plane equals the lane
+    mask for every marker, so the Gram is accumulated as the raw INTEGER
+    plane Gram (one bf16 MXU pass per plane — exact, values {0,1,2}) with
+    the standardization applied as a rank-1 correction before the
+    recurrence, and the axpy's mask-dot terms collapse to sum(c2) on real
+    lanes (see window_kernels._stats_kernel for the algebra). Otherwise
+    decodes the full (g, m) pair per tile."""
     w = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
@@ -363,34 +368,51 @@ def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
             s1_s[:, :] = jnp.zeros_like(s1_s)
             s2_s[:, :] = jnp.zeros_like(s2_s)
             gram_s[:, :] = jnp.zeros_like(gram_s)
+            if complete:
+                v_s[:, :] = jnp.zeros_like(v_s)
 
         et = eps_ref[t]                        # (4, tb)
         mave_c = mcol_ref[:, 0:1]              # (W, 1)
         mstd_c = mcol_ref[:, 1:2]
         s1 = None
         s2 = None
+        vv = None
+        ct = (((1,), (1,)), ((), ()))
         for k in range(4):
             g, m = _decode_k(pk32, k)
             e = et[k:k + 1, :]
             a = jnp.sum(g * e, axis=1, keepdims=True)
-            b = jnp.sum(m * e, axis=1, keepdims=True)
             s1 = a if s1 is None else s1 + a
-            s2 = b if s2 is None else s2 + b
-            x = (g - mave_c * m) * mstd_c      # (W, tb) standardized
-            # manual 2-pass f32 Gram (Mosaic ignores precision=HIGHEST for
-            # in-kernel dot_general); the two cross terms are transposes
-            # of each other — see window_kernels._stats_kernel
-            xh = x.astype(jnp.bfloat16).astype(f32)
-            xl = x - xh
-            ct = (((1,), (1,)), ((), ()))
-            cross = jax.lax.dot_general(xh, xl, ct, precision=PREC,
+            if complete:
+                # integer Gram: ONE exact bf16 pass per plane; the mask
+                # terms become rank-1 corrections from v = sum(g) and n
+                b = jnp.sum(e).reshape(1, 1)   # mask dot == sum(eps)
+                c = jnp.sum(g, axis=1, keepdims=True)
+                vv = c if vv is None else vv + c
+                gb = g.astype(jnp.bfloat16)
+                gram_s[:, :] += jax.lax.dot_general(
+                    gb, gb, ct, precision=PREC, preferred_element_type=f32)
+            else:
+                b = jnp.sum(m * e, axis=1, keepdims=True)
+                x = (g - mave_c * m) * mstd_c  # (W, tb) standardized
+                # manual 2-pass f32 Gram (Mosaic ignores precision=HIGHEST
+                # for in-kernel dot_general); the two cross terms are
+                # transposes — see window_kernels._stats_kernel
+                xh = x.astype(jnp.bfloat16).astype(f32)
+                xl = x - xh
+                cross = jax.lax.dot_general(xh, xl, ct, precision=PREC,
+                                            preferred_element_type=f32)
+                gram_s[:, :] += (
+                    jax.lax.dot_general(xh, xh, ct, precision=PREC,
                                         preferred_element_type=f32)
-            gram_s[:, :] += (
-                jax.lax.dot_general(xh, xh, ct, precision=PREC,
-                                    preferred_element_type=f32)
-                + cross + jnp.transpose(cross))
+                    + cross + jnp.transpose(cross))
+            s2 = b if s2 is None else s2 + b
         s1_s[:, :] += s1
-        s2_s[:, :] += s2
+        if complete:
+            s2_s[0:1, 0:1] += s2
+            v_s[:, :] += vv
+        else:
+            s2_s[:, :] += s2
 
         # ---- W-step sequential recurrence on the last tile ----
         @pl.when(t == n_tiles - 1)
@@ -400,8 +422,18 @@ def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
             mave = mrow_ref[0:1, :]
             mstd = mrow_ref[1:2, :]
             bold = mrow_ref[2:3, :]
-            num0 = (mstd * (jnp.transpose(s1_s[:, :])
-                            - mave * jnp.transpose(s2_s[:, :]))
+            if complete:
+                # standardize the integer Gram (rank-1 mask corrections;
+                # n_real rides sc_ref[0, 2])
+                n_real = sc_ref[0, 2]
+                v_r = jnp.transpose(v_s[:, :])          # (1, W)
+                gram_s[:, :] = (mcol_ref[:, 1:2] * mstd) * (
+                    gram_s[:, :] - mcol_ref[:, 0:1] * v_r
+                    - v_s[:, :] * mave + n_real * (mcol_ref[:, 0:1] * mave))
+                s2v = s2_s[0:1, 0:1]
+            else:
+                s2v = jnp.transpose(s2_s[:, :])
+            num0 = (mstd * (jnp.transpose(s1_s[:, :]) - mave * s2v)
                     + bold * dNm1)                      # (1, W)
             out_ref[:, :] = jnp.zeros_like(out_ref)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -462,39 +494,49 @@ def _sweep_exact_kernel(K: int, n_tiles: int, PREC,
             c1h = c1.astype(jnp.bfloat16).astype(f32)
             c_s[0:1, :] = c1h
             c_s[1:2, :] = c1 - c1h
-            c2h = c2.astype(jnp.bfloat16).astype(f32)
-            c_s[2:3, :] = c2h
-            c_s[3:4, :] = c2 - c2h
+            if complete:
+                # the c2 mask dots collapse to the scalar sum(c2) on real
+                # lanes (phase 1 broadcasts it through a mask row)
+                c_s[2:3, :] = jnp.zeros_like(c1) + jnp.sum(c2)
+                c_s[3:4, :] = jnp.zeros_like(c1)
+            else:
+                c2h = c2.astype(jnp.bfloat16).astype(f32)
+                c_s[2:3, :] = c2h
+                c_s[3:4, :] = c2 - c2h
 
     @pl.when(ph == 1)
     def _axpy():
         c1h = c_s[0:1, :]
         c1l = c_s[1:2, :]
-        c2h = c_s[2:3, :]
-        c2l = c_s[3:4, :]
         for k in range(4):
             g, m = _decode_k(pk32, k)
             d = (jnp.dot(c1h, g, precision=PREC, preferred_element_type=f32)
                  + jnp.dot(c1l, g, precision=PREC,
-                           preferred_element_type=f32)
-                 + jnp.dot(c2h, m, precision=PREC,
-                           preferred_element_type=f32)
-                 + jnp.dot(c2l, m, precision=PREC,
                            preferred_element_type=f32))
+            if complete:
+                # m's marker-0 row IS the lane mask (no real missing):
+                # the c2 term is sum(c2) on real lanes, 0 on pads
+                d = d + c_s[2:3, 0:1] * m[0:1, :]
+            else:
+                d = (d + jnp.dot(c_s[2:3, :], m, precision=PREC,
+                                 preferred_element_type=f32)
+                     + jnp.dot(c_s[3:4, :], m, precision=PREC,
+                               preferred_element_type=f32))
             eps_ref[t, k:k + 1, :] += d
 
 
 def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
                 mcol: jax.Array, i_2se, dNm1, *, window: int, n_mix: int,
-                tile_bytes: int = 0, vma=None, interpret: bool = False
-                ) -> Tuple[jax.Array, jax.Array]:
+                complete: bool = False, tile_bytes: int = 0, vma=None,
+                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Run a full EXACT-mode Gibbs sweep in one kernel launch.
 
     Like sweep_stale but with the window Gram accumulated in phase 0 and
     the sequential W-step recurrence (exact sync-rate=1 semantics,
     BayesRRm.cpp:2044-2060) run in VMEM at each window's last stats tile.
     Single marker shard only. mcol: (m_loc, 2) = [mave, mstd] columns in
-    the same shuffled order as pk_shuf/mrow.
+    the same shuffled order as pk_shuf/mrow. complete=True enables the
+    integer-Gram fast path (no missing genotypes; see the kernel).
 
     Returns (eps_d', out) with out columns [beta_new, comp, acum0, dbeta].
     """
@@ -512,8 +554,11 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
     mrow_t = mrow_t.reshape(n_windows * c_pad, W)
     eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
+    # n_real = dNm1 + 1: the sampler's dNm1 is (real N) - 1 and the mega
+    # path is gated to a single unsharded residual
     sc = jnp.stack([jnp.asarray(i_2se, f32),
-                    jnp.asarray(dNm1, f32)]).reshape(1, 2)
+                    jnp.asarray(dNm1, f32),
+                    jnp.asarray(dNm1, f32) + 1.0]).reshape(1, 3)
 
     def sds(shape):
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
@@ -544,10 +589,11 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pltpu.VMEM((W, 1), f32),    # s2
             pltpu.VMEM((W, W), f32),    # window Gram
             pltpu.VMEM((4, W), f32),    # axpy coeff rows
+            pltpu.VMEM((W, 1), f32),    # v = sum(g) (complete mode)
         ],
     )
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_exact_kernel, n_mix, n_tiles,
+        functools.partial(_sweep_exact_kernel, n_mix, n_tiles, complete,
                           jax.lax.Precision.HIGHEST if interpret else None),
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],

@@ -110,7 +110,8 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
     @pl.when(pl.program_id(0) == 0)
     def _():
         s1_ref[:, :] = jnp.zeros_like(s1_ref)
-        if not complete:
+        if exact or not complete:
+            # exact+complete reuses the s2 slot as the v = sum(g) accumulator
             s2_ref[:, :] = jnp.zeros_like(s2_ref)
         if exact:
             gram_ref[:, :] = jnp.zeros_like(gram_ref)
@@ -120,7 +121,7 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
     mstd = mstd_ref[:, :]
     s1 = s2 = None
     for k in range(4):
-        if complete:
+        if complete and not exact:
             # h-decode (one op fewer); the wrapper reconstructs
             # s1 = 2*sum(eps) - hs1 outside the kernel
             g = _decode_h_int(pk32, k)
@@ -131,6 +132,26 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
         # VPU lane reduction, not an MXU matvec (see module docstring)
         a = jnp.sum(g * e, axis=1, keepdims=True)       # (W, 1)
         s1 = a if s1 is None else s1 + a
+        if exact and complete:
+            # INTEGER Gram: g takes values {0, 1, 2} (pads decode to 0), so
+            # the raw plane Gram sum g_j.g_k is EXACT in one bf16 MXU pass
+            # (products <= 4, f32 accumulation). The mask plane equals the
+            # lane mask for every marker, so its cross terms collapse to
+            # rank-1 corrections from v = sum(g) per marker and n = #real
+            # lanes — applied once per window by the wrapper, NOT per tile:
+            #   gram = mstd_j mstd_k (Ggg - mave_j v_k - mave_k v_j
+            #                          + n mave_j mave_k).
+            # Replaces the standardize + bf16 hi/lo split + 2 dots of the
+            # general path with one cast + ONE dot per plane, and is MORE
+            # accurate (the split drops lo@lo; this is exact + one f32
+            # rounding per correction term).
+            b = jnp.sum(g, axis=1, keepdims=True)        # v accumulator
+            s2 = b if s2 is None else s2 + b
+            gb = g.astype(jnp.bfloat16)
+            ct = (((1,), (1,)), ((), ()))
+            gram_ref[:, :] += jax.lax.dot_general(
+                gb, gb, ct, preferred_element_type=f32)
+            continue
         if not complete:
             b = jnp.sum(m * e, axis=1, keepdims=True)
             s2 = b if s2 is None else s2 + b
@@ -152,28 +173,34 @@ def _stats_kernel(exact: bool, complete: bool, pk_ref, eps_ref, mave_ref,
                 jax.lax.dot_general(xh, xh, ct, preferred_element_type=f32)
                 + cross + jnp.transpose(cross))
     s1_ref[:, :] += s1
-    if not complete:
+    if s2 is not None:
         s2_ref[:, :] += s2
 
 
 def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
                  mstd: jax.Array, exact: bool, tile_bytes: int = 0,
-                 vma=None, interpret: bool = False, complete: bool = False
+                 vma=None, interpret: bool = False, complete: bool = False,
+                 n_real=None
                  ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """(s1, s2[, gram]) for a window.
 
     packed: (W, NB) uint8; eps_d: (4, NB) f32 plane-major residual
     (deinterleave(eps)); mave/mstd: (W,).
 
-    complete=True (stale mode, no missing genotypes anywhere): the mask
-    plane is identically 1 on real individuals, so s2 = sum(eps) for every
-    marker — the kernel skips the mask decode+reduce (~30% of its VPU
-    work) and returns s2=None; the caller uses its own sum(eps_d) (pad
-    lanes of eps are zero by invariant). Ignored when exact=True (the
-    Gram needs the mask to zero pad columns of x~).
+    complete=True (no missing genotypes anywhere): the mask plane is
+    identically 1 on real individuals, so s2 = sum(eps) for every marker —
+    the kernel skips the mask decode+reduce (~30% of its VPU work) and
+    returns s2=None; the caller uses its own sum(eps_d) (pad lanes of eps
+    are zero by invariant). With exact=True the Gram additionally reduces
+    to ONE integer bf16 MXU pass per plane (see _stats_kernel), with the
+    standardization applied here as a rank-1 correction from v = sum(g)
+    and `n_real` (this shard's real-individual count — required). The
+    correction is LINEAR in (Ggg, v, n_real), so individual-sharded
+    callers may psum the returned gram as before.
     """
     W, NB = packed.shape
-    complete = complete and not exact
+    if complete and exact and n_real is None:
+        raise ValueError("exact complete window_stats needs n_real")
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0 if exact else 3.0)
     grid = (NB // tb,)
 
@@ -204,11 +231,19 @@ def window_stats(packed: jax.Array, eps_d: jax.Array, mave: jax.Array,
         interpret=interpret,
     )(packed, eps_d, mave.reshape(W, 1), mstd.reshape(W, 1))
     s1 = s1[:, 0]
-    if complete:
+    if complete and not exact:
         # kernel accumulated hs1 = sum h*eps with h = 2 - g (see
         # _decode_h_int); pad lanes of eps are zero so the constant term
         # is exactly 2*sum(eps)
         s1 = 2.0 * jnp.sum(eps_d) - s1
+    if complete and exact:
+        # standardization correction of the raw integer Gram (rank-1 terms
+        # from the lane-constant mask plane; see _stats_kernel)
+        v = s2[:, 0]
+        mave_c = mave[:, None]
+        gram = (mstd[:, None] * mstd[None, :]) * (
+            gram - mave_c * v[None, :] - v[:, None] * mave[None, :]
+            + jnp.asarray(n_real, f32) * (mave_c * mave[None, :]))
     return (s1, None if complete else s2[:, 0],
             (gram if exact else None))
 

@@ -266,7 +266,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
             s1, s2, gram_fused = window_stats(
                 pk, eps, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
-                vma=vma_axes, complete=cfg.complete)
+                vma=vma_axes, complete=cfg.complete, n_real=n_real_loc)
             if s2 is None:
                 # complete data: every marker's mask dot is just sum(eps)
                 # (pad lanes of eps are zero by invariant)
@@ -538,7 +538,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             mcol = jnp.stack([mave_s, mstd_s], axis=1)
             eps_new_d, out_m = sweep_exact(
                 pk_shuf, deinterleave(eps), mrow, mcol, i_2se, dNm1,
-                window=cfg.window, n_mix=cfg.k,
+                window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
                 vma=vma_axes, interpret=cfg.interpret)
         elif wt_sd:
             eps_new_d, out_m = sweep_stale_sd(
@@ -579,6 +579,9 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
             eps = deinterleave(eps)  # (4, NB) plane-major across the sweep
             ind_mask4 = deinterleave(ind_mask)
+            # this shard's real-individual count, for the exact+complete
+            # integer-Gram correction (linear -> psum-safe under ind shards)
+            n_real_loc = jnp.sum(ind_mask4)
         eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
             0, cfg.n_windows, window_body,
             (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))

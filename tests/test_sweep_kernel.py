@@ -178,6 +178,39 @@ def test_exact_mega_matches_window_path_w8():
     _compare_exact(ds, window=8)
 
 
+def test_exact_mega_matches_window_path_missing():
+    """Missing genotypes force the general (non-integer-Gram) exact path;
+    it must still continue the per-window exact chain."""
+    from hydra_tpu.data.genotypes import Dataset, GenotypeData, \
+        make_default_groups
+    from hydra_tpu.io.plink import bed_bytes_per_marker, MISSING_CODE
+
+    rs = np.random.RandomState(27)
+    m, n = 64, 256
+    maf = rs.uniform(0.1, 0.5, m)
+    geno = (rs.binomial(1, maf[:, None], (m, n))
+            + rs.binomial(1, maf[:, None], (m, n)))
+    geno[rs.random((m, n)) < 0.05] = -1          # 5% missing
+    code = np.select([geno == 0, geno == 1, geno == 2, geno < 0],
+                     [0b11, 0b10, 0b00, MISSING_CODE]).astype(np.uint8)
+    nbytes = bed_bytes_per_marker(n)
+    padded = np.full((m, nbytes * 4), MISSING_CODE, dtype=np.uint8)
+    padded[:, :n] = code
+    packed = (padded[:, 0::4] | (padded[:, 1::4] << 2)
+              | (padded[:, 2::4] << 4) | (padded[:, 3::4] << 6)
+              ).astype(np.uint8)
+    gd = GenotypeData.from_packed(packed, n, np.array([], dtype=np.int64))
+    assert int(np.asarray(gd.nm).sum()) > 0
+    x = np.where(geno >= 0, geno, 0).astype(np.float64)
+    beta = rs.randn(m) * np.sqrt(0.5 / m)
+    y = x.T @ beta + rs.randn(n) * np.sqrt(0.5)
+    groups, mS = make_default_groups(m, [0.001, 0.01, 0.1])
+    ds = Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
+    ref = BayesRRm(ds, window=16, exact=True, seed=7, mesh=make_mesh(1))
+    assert not ref.cfg.complete
+    _compare_exact(ds, window=16)
+
+
 def test_exact_mega_matches_window_path_fh():
     ds, _, _ = simulate(m=96, n=256, h2=0.5, seed=23)
     sr, sm = _compare_exact(ds, window=16, seed=9, fh=True)

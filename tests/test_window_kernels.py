@@ -57,6 +57,35 @@ def test_window_stats_parity():
     assert gram_b is None
 
 
+def test_window_stats_exact_complete_parity():
+    """Integer-Gram fast path (exact + complete data): one bf16 MXU pass
+    per plane with a rank-1 standardization correction must match the
+    NumPy Gram of the standardized window."""
+    rs = np.random.RandomState(7)
+    w, n = 32, 2048
+    geno = rs.randint(0, 3, (w, n))
+    code = np.select([geno == 0, geno == 1, geno == 2],
+                     [0b11, 0b10, 0b00]).astype(np.uint8)
+    packed = jnp.asarray(
+        (code[:, 0::4] | (code[:, 1::4] << 2) | (code[:, 2::4] << 4)
+         | (code[:, 3::4] << 6)).astype(np.uint8))
+    eps = jnp.asarray(rs.randn(n).astype(np.float32))
+    mave = jnp.asarray((rs.rand(w) + 0.5).astype(np.float32))
+    mstd = jnp.asarray((rs.rand(w) + 0.5).astype(np.float32))
+    A, B = decode_planes(packed, jnp.float32)   # B == 1 (complete)
+    s1_ref = np.asarray(A, np.float64) @ np.asarray(eps, np.float64)
+    xt = np.asarray((A - mave[:, None] * B) * mstd[:, None], np.float64)
+    gram_ref = xt @ xt.T
+
+    s1, s2, gram = window_stats(_hp(packed), deinterleave(eps), mave, mstd,
+                                exact=True, complete=True, n_real=float(n),
+                                interpret=True)
+    assert s2 is None
+    np.testing.assert_allclose(np.asarray(s1), s1_ref, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gram), gram_ref,
+                               rtol=1e-4, atol=1e-2)
+
+
 def test_window_axpy_parity():
     packed, eps, mave, mstd = _inputs(seed=3)
     W = packed.shape[0]
