@@ -358,12 +358,75 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             # residual syncs, same-step markers mutually stale,
             # BayesRRm.cpp:2044-2060) without any N-length collective
             # inside the window.
-            if xt is None:
-                # pallas stats path on a multi-shard mesh: the ring below
-                # ships decoded window planes, so materialize them once
-                A, B = decode_planes_hp(pk, f32)
-                xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
-            if cfg.n_dcn > 1:
+            if cfg.complete and cfg.n_dev > 1:
+                # Complete data, multi-shard: ship the RAW 2-bit packed
+                # bytes ((W, NB) uint8 — 16x less ICI/DCN traffic than f32
+                # planes) plus one (3, W) stats row [mave, mstd, v=sum(g)],
+                # and rebuild each cross-shard block from the INTEGER plane
+                # Gram (exact in bf16: values {0,1,2}) with the rank-1
+                # standardization correction — the same algebra as
+                # ops/window_kernels._stats_kernel. Pad markers have
+                # mstd = 0, so their rows/cols vanish; every term is linear
+                # in (G, v, n_loc), so the ind-axis psum still applies.
+                A, _ = decode_planes_hp(pk, f32)
+                g_loc = A.astype(jnp.bfloat16)
+                v_w = jnp.sum(A, axis=1)
+                rows_loc = jnp.stack([mave_w, mstd_w, v_w])      # (3, W)
+
+                def corr_blk(g_rem, rows_rem):
+                    # blk[j, t] = x~_j(local) . x~_t(remote)
+                    G = jnp.dot(g_loc, g_rem.T, preferred_element_type=f32)
+                    return psum_i(
+                        (mstd_w[:, None] * rows_rem[1][None, :])
+                        * (G - rows_rem[0][None, :] * v_w[:, None]
+                           - mave_w[:, None] * rows_rem[2][None, :]
+                           + n_real_loc
+                           * (mave_w[:, None] * rows_rem[0][None, :])))
+
+                if cfg.n_dcn > 1:
+                    pk_all = jax.lax.all_gather(pk, ma)    # (n_dev, W, NB)
+                    rows_all = jax.lax.all_gather(rows_loc, ma)
+                    A_all, _ = decode_planes_hp(
+                        pk_all.reshape(cfg.n_dev * W, -1), f32)
+                    g_all = A_all.astype(jnp.bfloat16).reshape(
+                        cfg.n_dev, W, -1)
+                    G = jnp.einsum("wn,dvn->dwv", g_loc, g_all,
+                                   preferred_element_type=f32)
+                    blocks = psum_i(
+                        (mstd_w[None, :, None] * rows_all[:, 1, None, :])
+                        * (G - rows_all[:, 0, None, :] * v_w[None, :, None]
+                           - mave_w[None, :, None] * rows_all[:, 2, None, :]
+                           + n_real_loc * (mave_w[None, :, None]
+                                           * rows_all[:, 0, None, :])))
+                else:
+                    ring = [((i + 1) % cfg.n_dev, i)
+                            for i in range(cfg.n_dev)]
+                    buf_pk, buf_rows = pk, rows_loc
+                    blocks = jax.lax.pcast(
+                        jnp.zeros((cfg.n_dev, W, W), f32), (MARKER_AXIS,),
+                        to="varying")
+                    for r in range(cfg.n_dev):
+                        owner = (dev + r) % cfg.n_dev
+                        if r == 0:
+                            blk = corr_blk(g_loc, rows_loc)
+                        else:
+                            A_r, _ = decode_planes_hp(buf_pk, f32)
+                            blk = corr_blk(A_r.astype(jnp.bfloat16),
+                                           buf_rows)
+                        oh = (jnp.arange(cfg.n_dev) == owner).astype(f32)
+                        blocks = blocks + oh[:, None, None] * blk[None]
+                        if r < cfg.n_dev - 1:
+                            buf_pk = jax.lax.ppermute(
+                                buf_pk, MARKER_AXIS, ring)
+                            buf_rows = jax.lax.ppermute(
+                                buf_rows, MARKER_AXIS, ring)
+            elif cfg.n_dcn > 1:
+                if xt is None:
+                    # pallas stats path on a multi-shard mesh: the general
+                    # (missing-data) gather/ring ships decoded window
+                    # planes, so materialize them once
+                    A, B = decode_planes_hp(pk, f32)
+                    xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
                 # hierarchical mesh: ppermute has no linearized-axis form, so
                 # gather every shard's window planes once (n_dev, W, N_loc)
                 # and form all Gram blocks in one batched matmul
@@ -372,6 +435,9 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                     "wn,dvn->dwv", xt, buf_all,
                     preferred_element_type=f32, precision=_HI))
             elif cfg.n_dev > 1:
+                if xt is None:
+                    A, B = decode_planes_hp(pk, f32)
+                    xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
                 # blocks[d, j, t] = x~_j(local) . x~_t(shard d), built by an
                 # ICI ring over the window planes (n_dev (W,N)x(N,W) matmuls)
                 ring = [((i + 1) % cfg.n_dev, i) for i in range(cfg.n_dev)]
@@ -574,14 +640,14 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             lam = lam.at[perm].set(rate / jnp.take(g_lam, perm))
             nu = nu.at[perm].set(nu_w_s)
     else:
+        # this shard's real-individual count, for the exact+complete
+        # integer-Gram correction (linear -> psum-safe under ind shards)
+        n_real_loc = jnp.sum(ind_mask)
         if cfg.use_pallas or cfg.use_planes:
             from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
             eps = deinterleave(eps)  # (4, NB) plane-major across the sweep
             ind_mask4 = deinterleave(ind_mask)
-            # this shard's real-individual count, for the exact+complete
-            # integer-Gram correction (linear -> psum-safe under ind shards)
-            n_real_loc = jnp.sum(ind_mask4)
         eps, beta, comps, acum, lam, nu, cass, sum_abs_db = jax.lax.fori_loop(
             0, cfg.n_windows, window_body,
             (eps, beta, comps, acum, lam, nu, cass0, jnp.zeros((), f32)))
@@ -739,12 +805,15 @@ class BayesRRm:
         # 2026-08-19), so the headroom constant admits it.
         packed_bytes = m_loc * (geno.n_pad // 4)
         if exact:
-            # exact mega (2026-08-19): wins at small N where launch glue
-            # dominates (4.84 vs 5.93 ms at M=10K x N=5K W=64) but loses
-            # slightly at N=50K M=100K (95.4 vs 92.7 ms — the per-sweep
-            # shuffle gather outweighs the saved glue; W=256 exact is
-            # 115.7 ms, the O(W^2) recurrence+Gram favor W=64)
-            mega_auto = geno.n_pad <= 16384
+            # exact mega (re-measured 2026-08-19 with the integer-Gram
+            # complete-data path): wins at small N where launch glue
+            # dominates (4.83 vs 5.82 ms at M=10K x N=5K W=64) AND at
+            # scale (75.7 vs 80.0 ms at M=100K x N=50K W=64 — the
+            # integer Gram shrank phase 0 enough that the saved per-window
+            # glue beats the per-sweep shuffle gather). Same HBM headroom
+            # rule as stale mega (the gather's second packed copy).
+            mega_auto = (geno.n_pad <= 16384
+                         or (complete and 2.2 * packed_bytes < 14.5e9))
         else:
             mega_auto = (geno.n_pad <= 16384
                          or (m_loc >= 100_000

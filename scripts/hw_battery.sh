@@ -28,9 +28,12 @@ timeout 1500 python -u bench.py --skip-baseline --exact --window 64 \
 log "4b bench exact default config (per-window)"
 timeout 1500 python -u bench.py --skip-baseline --exact --window 64 \
     --iters 60 --mega off >> "$OUT" 2>&1
-log "4c bench exact 100Kx50K W=64 (per-window — wins at this scale)"
+log "4c bench exact 100Kx50K W=64 (mega auto — integer-Gram path wins)"
 timeout 2400 python -u bench.py --skip-baseline --m 100000 --n 50000 \
-    --window 64 --exact --mega off --iters 60 >> "$OUT" 2>&1
+    --window 64 --exact --iters 60 >> "$OUT" 2>&1
+log "4d bench exact 500Kx50K W=64 (mega auto)"
+timeout 3000 python -u bench.py --skip-baseline --m 500000 --n 50000 \
+    --window 64 --exact --iters 40 >> "$OUT" 2>&1
 log "5a bench 10Kx50K stale W=256"
 timeout 1800 python -u bench.py --skip-baseline --m 10000 --n 50000 \
     --window 256 >> "$OUT" 2>&1

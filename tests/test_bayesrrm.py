@@ -17,7 +17,8 @@ from hydra_tpu.samplers.bayesrrm import BayesRRm
 from hydra_tpu.parallel.mesh import make_mesh
 
 
-def simulate(m=200, n=500, h2=0.5, frac_causal=0.2, seed=3, num_groups=1):
+def simulate(m=200, n=500, h2=0.5, frac_causal=0.2, seed=3, num_groups=1,
+             missing_frac=0.0):
     """Simulated dataset with the reference example's mixture grid.
 
     The grid must cover the per-marker variance fraction (h2/ncausal); the
@@ -39,6 +40,11 @@ def simulate(m=200, n=500, h2=0.5, frac_causal=0.2, seed=3, num_groups=1):
     g = x.T @ beta
     e = rs.randn(n) * np.sqrt(1 - h2)
     y = g + e
+    if missing_frac > 0.0:
+        # mark AFTER building y from the complete x: missing entries only
+        # change the marker stats/mask path, not the phenotype
+        geno = np.where(rs.random_sample(geno.shape) < missing_frac,
+                        -1, geno)
     packed_geno = GenotypeData.from_packed(
         _pack(geno), n, np.array([], dtype=np.int64))
     groups, mS = make_default_groups(m, [0.001, 0.01, 0.1])
@@ -52,7 +58,8 @@ def simulate(m=200, n=500, h2=0.5, frac_causal=0.2, seed=3, num_groups=1):
 def _pack(geno):
     from hydra_tpu.io.plink import bed_bytes_per_marker, MISSING_CODE
     m, n = geno.shape
-    code = np.select([geno == 0, geno == 1, geno == 2], [0b11, 0b10, 0b00])
+    code = np.select([geno == 0, geno == 1, geno == 2, geno < 0],
+                     [0b11, 0b10, 0b00, MISSING_CODE])
     nbytes = bed_bytes_per_marker(n)
     padded = np.full((m, nbytes * 4), MISSING_CODE, dtype=np.uint8)
     padded[:, :n] = code
@@ -166,6 +173,28 @@ def test_exact_mode_is_exact_across_shards():
             err_msg=f"iteration {it}")
     np.testing.assert_allclose(float(st1.sigma_e), float(st4.sigma_e),
                                rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(st1.eps), np.asarray(st4.eps),
+                               atol=2e-4)
+
+
+def test_exact_across_shards_with_missing_data():
+    """Missing genotypes disable the packed-byte integer-Gram ring; the
+    general plane-shipping ring must still reproduce the per-marker dense
+    sync schedule (window is a batching choice, not a semantics choice)."""
+    ds, _, _ = simulate(m=96, n=300, h2=0.5, seed=11, missing_frac=0.05)
+    assert int(np.asarray(ds.geno.nm).sum()) > 0
+    s_w1 = BayesRRm(ds, window=1, exact=True, seed=13, mesh=make_mesh(4),
+                    shuffle=True)
+    assert not s_w1.cfg.complete
+    s_w4 = BayesRRm(ds, window=4, exact=True, seed=13, mesh=make_mesh(4),
+                    shuffle=True)
+    st1, st4 = s_w1.init_state(), s_w4.init_state()
+    for it in range(3):
+        st1, _ = s_w1.step(st1, it)
+        st4, _ = s_w4.step(st4, it)
+        np.testing.assert_allclose(
+            s_w1.beta_global(st1), s_w4.beta_global(st4), atol=2e-4,
+            err_msg=f"iteration {it}")
     np.testing.assert_allclose(np.asarray(st1.eps), np.asarray(st4.eps),
                                atol=2e-4)
 
