@@ -202,8 +202,10 @@ def run_mt_bench(ds, args, n_traits=4):
 
     rs = np.random.RandomState(7)
     ph = np.tile(ds.y, (n_traits, 1)) + rs.randn(n_traits, ds.n) * 0.3
-    sampler = BayesRRmMT(ds, ph, window=args.window, seed=17,
-                         mesh=make_mesh(1), mega=args.mega)
+    sampler = BayesRRmMT(ds, ph, window=args.window, exact=args.exact,
+                         seed=17, mesh=make_mesh(1), mega=args.mega)
+    if args.exact:
+        print("# mt exact (Gram-corrected) mode", file=sys.stderr, flush=True)
     if sampler.cfg.use_mega:
         print("# mt whole-sweep mega-kernel: ON", file=sys.stderr, flush=True)
     state = sampler.init_state()
@@ -236,7 +238,8 @@ def run_mt_bench(ds, args, n_traits=4):
         print(f"# cpu-backend baseline: {base:.3f} s/sweep", file=sys.stderr)
     print(json.dumps({
         "metric": f"BayesRRm-mt marker-trait updates/s/chip (M={args.m}, "
-                  f"N={args.n}, T={n_traits}, window={args.window})",
+                  f"N={args.n}, T={n_traits}, window={args.window}"
+                  f"{', exact' if args.exact else ''})",
         "value": round(args.m * n_traits / per_sweep, 1),
         "unit": "marker-traits/s",
         "vs_baseline": round(vs, 3),

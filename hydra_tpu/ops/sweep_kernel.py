@@ -333,7 +333,8 @@ def sweep_stale_sd(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
 
 
 def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
-                        pk_ref, mrow_ref, mcol_ref, eps_in_ref, sc_ref,
+                        pk_ref, mrow_ref, mcol_ref, eps_in_ref, mask_ref,
+                        sc_ref,
                         out_ref, eps_ref, s1_s, s2_s, gram_s, c_s, v_s):
     """Whole-sweep EXACT-mode kernel: per window, phase 0 accumulates
     s1/s2 AND the window Gram over byte tiles, then runs the W-step
@@ -514,9 +515,12 @@ def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
                  + jnp.dot(c1l, g, precision=PREC,
                            preferred_element_type=f32))
             if complete:
-                # m's marker-0 row IS the lane mask (no real missing):
-                # the c2 term is sum(c2) on real lanes, 0 on pads
-                d = d + c_s[2:3, 0:1] * m[0:1, :]
+                # the c2 mask dots collapse to the scalar sum(c2) on real
+                # lanes, nulled on pads by the EXPLICIT lane mask (the
+                # shuffle can park a pad marker at any window slot, so no
+                # decoded mask row can stand in for the lane mask; the
+                # g-dots are already zero on pad lanes)
+                d = (d + c_s[2:3, 0:1]) * mask_ref[t, k:k + 1, :]
             else:
                 d = (d + jnp.dot(c_s[2:3, :], m, precision=PREC,
                                  preferred_element_type=f32)
@@ -527,8 +531,10 @@ def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
 
 def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
                 mcol: jax.Array, i_2se, dNm1, *, window: int, n_mix: int,
-                complete: bool = False, tile_bytes: int = 0, vma=None,
-                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+                complete: bool = False,
+                ind_mask4: Optional[jax.Array] = None, tile_bytes: int = 0,
+                vma=None, interpret: bool = False
+                ) -> Tuple[jax.Array, jax.Array]:
     """Run a full EXACT-mode Gibbs sweep in one kernel launch.
 
     Like sweep_stale but with the window Gram accumulated in phase 0 and
@@ -543,6 +549,8 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     m_loc, NB = pk_shuf.shape
     assert mrow.shape[1] == mrow_width(n_mix), (mrow.shape, n_mix)
     assert m_loc % window == 0, (m_loc, window)
+    if complete and ind_mask4 is None:
+        raise ValueError("complete exact sweep needs ind_mask4")
     W = window
     n_windows = m_loc // W
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0)
@@ -554,6 +562,10 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
     mrow_t = mrow_t.reshape(n_windows * c_pad, W)
     eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
+    if complete:
+        mask_t = ind_mask4.reshape(4, n_tiles, tb).transpose(1, 0, 2)
+    else:
+        mask_t = jnp.zeros((1, 4, tb), f32)   # unused placeholder
     # n_real = dNm1 + 1: the sampler's dNm1 is (real N) - 1 and the mega
     # path is gated to a single unsharded residual
     sc = jnp.stack([jnp.asarray(i_2se, f32),
@@ -575,6 +587,8 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pl.BlockSpec((W, 2), lambda w, p, t: (w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_t.shape[0], 4, tb), lambda w, p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -598,7 +612,7 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow_t, mcol, eps_t, sc)
+    )(pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
     out4 = out.reshape(n_windows, 8, W)[:, :4, :]
     # out rows: [beta_new, comp, acum, dbeta] -> columns per marker

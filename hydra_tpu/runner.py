@@ -116,7 +116,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                             use_xfiles=opt.use_xfiles_in_restart)
                for t in range(T)]
         apply_restart_rng(opt, rds[0])
-    sampler = BayesRRmMT(ds, phenos, window=opt.window,
+    sampler = BayesRRmMT(ds, phenos, window=opt.window, exact=opt.exact,
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
                          n_devices=opt.n_devices, n_ind=opt.ind_shards,
                          n_dcn=opt.dcn_slices, mega=opt.mega)

@@ -605,6 +605,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             eps_new_d, out_m = sweep_exact(
                 pk_shuf, deinterleave(eps), mrow, mcol, i_2se, dNm1,
                 window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
                 vma=vma_axes, interpret=cfg.interpret)
         elif wt_sd:
             eps_new_d, out_m = sweep_stale_sd(

@@ -19,8 +19,16 @@ masked entries pinned to zero, which makes the masked dot products plain
 matmuls. The reference's interleaved/planar epsilon layouts
 (--interleave-phenotypes, :449-520) are an XLA layout detail here.
 
-Stale-window semantics only (the reference mt code has the same sync
-structure as single-trait); window=1 gives exact sequential Gibbs per trait.
+Exact mode (default, matching single-trait): the per-marker numerators are
+linear in the residual, so the window Gram correction from BayesRRm carries
+over per trait — num_j[t] += sum_{k<j} dbeta_k[t] G_t[j, k]. With full
+phenotypes (no NaNs) the per-trait masked stats collapse to the shared
+genotype stats, so ONE trait-independent Gram serves all T traits (and on
+complete genotype data it reduces to the integer bf16 MXU Gram + rank-1
+correction, see ops/window_kernels._stats_kernel); NaN phenotypes fall back
+to per-trait masked Grams. Cross-shard blocks ship the raw packed bytes
+(16x less ICI traffic than planes). --stale gives the reference's
+sync-rate window relaxation; window=1 is exact either way.
 """
 
 from __future__ import annotations
@@ -68,6 +76,8 @@ class MtConfig:
     use_mega: bool = False     # whole-sweep mt mega-kernel (single shard)
     interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes (fast kernels)
+    exact: bool = False        # Gram-corrected exact sequential semantics
+    full_pheno: bool = False   # no NaN phenotypes: trait-independent Gram
 
     @property
     def n_windows(self):
@@ -94,6 +104,100 @@ class MtStats(NamedTuple):
     m0: jax.Array         # (T, G)
     cass: jax.Array       # (T, G, K)
     beta_sqn: jax.Array   # (T, G)
+
+
+def _mt_gram_blocks(cfg: MtConfig, A, B, pk, mave_w, mstd_w, trait_mask,
+                    psum_i, ma, dev):
+    """Cross-shard window Gram blocks for exact mode.
+
+    Returns blocks[d, j, k] (trait-shared, full phenotypes) or
+    blocks[d, t, j, k] (per-trait masked Grams, NaN phenotypes) =
+    x~_j(local) . x~_k(shard d) under trait t's mask. Multi-shard
+    transport ships the RAW packed bytes + one small stats row per hop
+    (16x less ICI traffic than f32 planes; see bayesrrm's exact ring).
+    All terms are linear in lane sums, so ind-sharded callers psum here.
+    """
+    f32 = jnp.float32
+    W = A.shape[0]
+    T = cfg.n_traits
+
+    if cfg.full_pheno:
+        # no NaN phenotypes: per-trait masked stats are the tiled genotype
+        # stats (column 0 == every column) and the trait mask covers all
+        # real lanes (pads decode to 0) — ONE Gram serves all T traits
+        mave0, mstd0 = mave_w[:, 0], mstd_w[:, 0]
+        if cfg.complete:
+            # integer bf16 MXU Gram + rank-1 standardization correction
+            # (exact for plane values {0,1,2}; pad markers have mstd = 0)
+            v = jnp.sum(A, axis=1)
+            n_loc = jnp.sum(trait_mask[:, 0])
+            srow = jnp.stack([mave0, mstd0, v])              # (3, W)
+            g16 = A.astype(jnp.bfloat16)
+
+            def blk(A_r, B_r, srow_r):
+                G = jnp.dot(g16, A_r.astype(jnp.bfloat16).T,
+                            preferred_element_type=f32)
+                return psum_i(
+                    (mstd0[:, None] * srow_r[1][None, :])
+                    * (G - srow_r[0][None, :] * v[:, None]
+                       - mave0[:, None] * srow_r[2][None, :]
+                       + n_loc * (mave0[:, None] * srow_r[0][None, :])))
+        else:
+            xt = (A - mave0[:, None] * B) * mstd0[:, None]
+            srow = jnp.stack([mave0, mstd0])                 # (2, W)
+
+            def blk(A_r, B_r, srow_r):
+                xt_r = (A_r - srow_r[0][:, None] * B_r) * srow_r[1][:, None]
+                return psum_i(jnp.dot(xt, xt_r.T,
+                                      preferred_element_type=f32,
+                                      precision=_HI))
+    else:
+        # NaN phenotypes: per-(marker, trait) masked stats -> T Grams,
+        # each under that trait's individual mask
+        mave_t = mave_w.T                                    # (T, W)
+        mstd_t = mstd_w.T
+        xt_all = (A[None] - mave_t[:, :, None] * B[None]) * mstd_t[:, :, None]
+        xm = xt_all * trait_mask.T[:, None, :]               # mask once
+        srow = jnp.concatenate([mave_t, mstd_t], axis=0)     # (2T, W)
+
+        def blk(A_r, B_r, srow_r):
+            xt_r = ((A_r[None] - srow_r[:T, :, None] * B_r[None])
+                    * srow_r[T:, :, None])
+            return psum_i(jnp.einsum("twn,tvn->twv", xm, xt_r,
+                                     preferred_element_type=f32,
+                                     precision=_HI))
+
+    if cfg.n_dev == 1:
+        return blk(A, B, srow)[None]
+    if cfg.n_dcn > 1:
+        # hierarchical mesh: no linearized-axis ppermute — gather bytes
+        pk_all = jax.lax.all_gather(pk, ma)                  # (n_dev, W, NB)
+        srow_all = jax.lax.all_gather(srow, ma)
+        A_all, B_all = decode_planes_hp(
+            pk_all.reshape(cfg.n_dev * W, -1), f32)
+        A_all = A_all.reshape(cfg.n_dev, W, -1)
+        B_all = B_all.reshape(cfg.n_dev, W, -1)
+        return jnp.stack([blk(A_all[d], B_all[d], srow_all[d])
+                          for d in range(cfg.n_dev)])
+    ring = [((i + 1) % cfg.n_dev, i) for i in range(cfg.n_dev)]
+    buf_pk, buf_srow = pk, srow
+    shape = (cfg.n_dev, W, W) if cfg.full_pheno else (cfg.n_dev, T, W, W)
+    blocks = jax.lax.pcast(jnp.zeros(shape, f32), (MARKER_AXIS,),
+                           to="varying")
+    for r in range(cfg.n_dev):
+        owner = (dev + r) % cfg.n_dev
+        if r == 0:
+            b = blk(A, B, srow)
+        else:
+            A_r, B_r = decode_planes_hp(buf_pk, f32)
+            b = blk(A_r, B_r, buf_srow)
+        oh = (jnp.arange(cfg.n_dev) == owner).astype(f32)
+        oh = oh.reshape((cfg.n_dev,) + (1,) * (blocks.ndim - 1))
+        blocks = blocks + oh * b[None]
+        if r < cfg.n_dev - 1:
+            buf_pk = jax.lax.ppermute(buf_pk, MARKER_AXIS, ring)
+            buf_srow = jax.lax.ppermute(buf_srow, MARKER_AXIS, ring)
+    return blocks
 
 
 def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
@@ -202,24 +306,71 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             (sig_g_w[:, :, None] / sigma_e[None, :, None])
             * dNm1[None, :, None] * cva_w + 1.0)
 
-        muk = num0[:, :, None] * inv_denomk                 # (W, T, km1)
-        logL = jnp.concatenate(
-            [log_pi_w[:, :, :1],
-             log_pi_w[:, :, 1:] - 0.5 * log_detk
-             + muk * num0[:, :, None] * i_2se[None, :, None]], axis=2)
-        m = jnp.max(logL, axis=2, keepdims=True)
-        pr = jnp.exp(logL - m)
-        probs = pr / jnp.sum(pr, axis=2, keepdims=True)
-        cum = jnp.cumsum(probs, axis=2)
-        comp = jnp.minimum(
-            jnp.sum((u_w[:, :, None] > cum).astype(jnp.int32), axis=2), km1)
-        ksel = jnp.maximum(comp - 1, 0)[:, :, None]
-        beta_nz = (jnp.take_along_axis(muk, ksel, axis=2)
-                   + nrm_w[:, :, None] * jnp.take_along_axis(sd_k, ksel, axis=2)
-                   )[:, :, 0]
-        bnew_w = jnp.where((comp > 0) & act_w, beta_nz, 0.0)
-        comp = jnp.where(act_w, comp, 0)
-        acum0 = jnp.where(act_w, probs[:, :, 0], 1.0)        # (W, T)
+        logl_static = jnp.concatenate(
+            [log_pi_w[:, :, :1], log_pi_w[:, :, 1:] - 0.5 * log_detk],
+            axis=2)                                          # (W, T, K)
+
+        def draw_rows(num, inv_d, sdk, lstat, u, nrm, act):
+            """Mixture-component + beta draw; leading dims (W,) or none."""
+            muk = num[..., None] * inv_d                     # (..., T, km1)
+            logL = jnp.concatenate(
+                [lstat[..., :1],
+                 lstat[..., 1:] + muk * num[..., None] * i_2se[:, None]],
+                axis=-1)
+            mx = jnp.max(logL, axis=-1, keepdims=True)
+            pr = jnp.exp(logL - mx)
+            probs = pr / jnp.sum(pr, axis=-1, keepdims=True)
+            cum = jnp.cumsum(probs, axis=-1)
+            comp = jnp.minimum(
+                jnp.sum((u[..., None] > cum).astype(jnp.int32), axis=-1),
+                km1)
+            ksel = jnp.maximum(comp - 1, 0)[..., None]
+            beta_nz = (jnp.take_along_axis(muk, ksel, axis=-1)
+                       + nrm[..., None]
+                       * jnp.take_along_axis(sdk, ksel, axis=-1))[..., 0]
+            bnew = jnp.where((comp > 0) & act, beta_nz, 0.0)
+            return (bnew, jnp.where(act, comp, 0),
+                    jnp.where(act, probs[..., 0], 1.0))
+
+        if cfg.exact:
+            # ---- window Gram blocks (see module docstring) ----
+            # blocks[d, (t,) j, k] = x~_j(local) . x~_k(shard d) under the
+            # trait mask; per-step correction reproduces exact sequential
+            # Gibbs across the window and across shards (the single-trait
+            # machinery of bayesrrm._local_iteration, per trait).
+            if cfg.use_pallas:
+                A_g, B_g = decode_planes_hp(pk, f32)
+            else:
+                A_g, B_g = A, B
+            blocks = _mt_gram_blocks(cfg, A_g, B_g, pk, mave_w, mstd_w,
+                                     trait_mask, psum_i, ma, dev)
+
+            def marker_step(corr, j):
+                num_j = num0[j] + corr[j]                    # (T,)
+                bnew, comp_j, acum_j = draw_rows(
+                    num_j, inv_denomk[j], sd_k[j], logl_static[j],
+                    u_w[j], nrm_w[j], act_w[j])
+                db = bold_w[j] - bnew                        # (T,)
+                if cfg.n_dev > 1:
+                    # one T-vector per shard rides ICI each step (the
+                    # per-marker Sum|dBeta| allreduce analogue)
+                    db_all = jax.lax.all_gather(db, ma)      # (n_dev, T)
+                else:
+                    db_all = db[None]
+                if blocks.ndim == 3:     # trait-shared (n_dev, W, W)
+                    corr = corr + jnp.einsum("dt,dw->wt", db_all,
+                                             blocks[:, :, j])
+                else:                    # per-trait (n_dev, T, W, W)
+                    corr = corr + jnp.einsum("dt,dtw->wt", db_all,
+                                             blocks[:, :, :, j])
+                return corr, (bnew, comp_j, acum_j)
+
+            corr0 = jax.lax.pcast(jnp.zeros((W, T), f32), ma, to="varying")
+            _, (bnew_w, comp, acum0) = jax.lax.scan(
+                marker_step, corr0, jnp.arange(W))
+        else:
+            bnew_w, comp, acum0 = draw_rows(
+                num0, inv_denomk, sd_k, logl_static, u_w, nrm_w, act_w)
         dbeta = (bold_w - bnew_w) * mstd_w                   # scaled deltas
 
         # dEps(:, t) = A^T (dbeta*mstd) - B^T (dbeta*mstd*mave), then mask
@@ -397,9 +548,10 @@ class BayesRRmMT:
     """
 
     def __init__(self, dataset: Dataset, phenos: np.ndarray, *,
-                 window: int = 1, shuffle: bool = True, seed: int = 0,
-                 mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1, n_dcn: int = 1, mega: str = "auto"):
+                 window: int = 1, exact: bool = True, shuffle: bool = True,
+                 seed: int = 0, mesh: Optional[Mesh] = None,
+                 n_devices: int = 0, n_ind: int = 1, n_dcn: int = 1,
+                 mega: str = "auto"):
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, n_ind=n_ind, n_dcn=n_dcn)
@@ -429,10 +581,15 @@ class BayesRRmMT:
             # (two resident (4T, NB) f32 buffers -> T * n_pad <= 256K);
             # mega="on"/"off" overrides the auto N-gate like BayesRRm's
             use_mega=(jax.default_backend() == "tpu" and window >= 8
+                      and not exact
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1
                       and mega != "off"
                       and (mega == "on" or T * geno.n_pad <= 262144)),
-            complete=bool(np.asarray(geno.nm).sum() == 0))
+            complete=bool(np.asarray(geno.nm).sum() == 0),
+            # exact with W = 1 is the plain sequential schedule; skip the
+            # (identity) Gram machinery there
+            exact=exact and window > 1,
+            full_pheno=bool(np.isfinite(phenos).all()))
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes

@@ -252,6 +252,42 @@ def main():
     check("sweep_mega.comp", out_m[:, 1], out_r[:, 1], tol=0)
     check("sweep_mega.acum", out_m[:, 2], out_r[:, 2], tol=1e-4)
 
+    # exact+complete integer-Gram stats kernel vs the f64-style golden
+    xtc = (Gc - mave[:, None]) * mstd[:, None]     # mask == 1 (complete)
+    s1ce, s2ce, gramce = jax.jit(
+        lambda p, e, a, s: window_stats(p, deinterleave(e), a, s, True,
+                                        complete=True, n_real=float(N))
+    )(pkc, eps, mave, mstd)
+    assert s2ce is None
+    check("stats.exact_complete.s1", s1ce, jnp.matmul(Gc, eps, precision=hi))
+    check("stats.exact_complete.gram", gramce,
+          jnp.matmul(xtc, xtc.T, precision=hi))
+
+    # exact-mode mega kernel: integer-Gram complete path vs the general
+    # mask-dot path on the SAME (complete) data — both compiled on chip
+    from hydra_tpu.ops.sweep_kernel import sweep_exact
+
+    pkse = np.zeros_like(pk_np)
+    for shift in (0, 2, 4, 6):
+        code = (pk_np >> shift) & 0b11
+        pkse |= np.where(code == 0b01, 0b00, code).astype(np.uint8) << shift
+    pkse_hp = jnp.asarray(hpack_bytes(pkse))
+    mcol_np = np.column_stack([cols["mave"], cols["mstd"]]).astype(np.float32)
+    im4 = deinterleave(jnp.ones(N, jnp.float32))
+    eps_g, out_g = jax.jit(lambda p, e, r, c: sweep_exact(
+        p, deinterleave(e), r, c, i2se_v, dNm1_v, window=W, n_mix=Kmix,
+        complete=False))(pkse_hp, jnp.asarray(eps0), jnp.asarray(mrow_np),
+                         jnp.asarray(mcol_np))
+    eps_c, out_c = jax.jit(lambda p, e, r, c, m: sweep_exact(
+        p, deinterleave(e), r, c, i2se_v, dNm1_v, window=W, n_mix=Kmix,
+        complete=True, ind_mask4=m))(pkse_hp, jnp.asarray(eps0),
+                                     jnp.asarray(mrow_np),
+                                     jnp.asarray(mcol_np), im4)
+    check("sweep_exact.complete.eps", interleave(eps_c), interleave(eps_g),
+          tol=5e-4)
+    check("sweep_exact.complete.beta", out_c[:, 0], out_g[:, 0], tol=5e-4)
+    check("sweep_exact.complete.comp", out_c[:, 1], out_g[:, 1], tol=0)
+
     # BayesW whole-sweep mega-kernel: compiled vs interpret mode of the
     # SAME kernel (the CPU suite already asserts interpret == the XLA
     # per-window path, tests/test_sweep_kernel_bw.py; this isolates the

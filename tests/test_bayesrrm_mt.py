@@ -89,6 +89,66 @@ def test_mt_matches_single_trait_when_duplicated():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("na_frac,n_dev", [(0.0, 1), (0.0, 4), (0.1, 1),
+                                           (0.1, 2)])
+def test_mt_exact_is_window_invariant(na_frac, n_dev):
+    """Exact mt == per-marker sequential schedule for any window size.
+
+    W=1 is literally one marker per shard between residual syncs; exact
+    W>1 must reproduce it through the per-trait Gram correction (the mt
+    analogue of test_exact_mode_is_exact_across_shards). na_frac>0 takes
+    the per-trait masked-Gram path; n_dev>1 the packed-byte block ring."""
+    ds, phenos, _ = simulate_mt(m=96, n=320, n_traits=2, seed=3,
+                                na_frac=na_frac)
+    s1 = BayesRRmMT(ds, phenos, window=1, seed=13, mesh=make_mesh(n_dev),
+                    shuffle=True)
+    s4 = BayesRRmMT(ds, phenos, window=4, seed=13, mesh=make_mesh(n_dev),
+                    shuffle=True)
+    assert s4.cfg.exact and s4.cfg.full_pheno == (na_frac == 0.0)
+    st1, st4 = s1.init_state(), s4.init_state()
+    for it in range(3):
+        st1, _ = s1.step(st1, it)
+        st4, _ = s4.step(st4, it)
+        np.testing.assert_allclose(
+            s1.beta_global(st1), s4.beta_global(st4), atol=2e-4,
+            err_msg=f"iteration {it}")
+    np.testing.assert_allclose(np.asarray(st1.eps), np.asarray(st4.eps),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st1.sigma_e),
+                               np.asarray(st4.sigma_e), rtol=2e-3)
+
+
+def test_mt_exact_missing_genotypes_window_invariant():
+    """Missing genotypes force the plane (non-integer) Gram; exact mt must
+    still be window-invariant."""
+    from tests.test_bayesrrm import simulate as simulate_1t
+
+    ds, phenos, _ = simulate_mt(m=64, n=256, n_traits=2, seed=7)
+    # repack with 5% missing entries (reuses the single-trait helper's
+    # packing; stats recomputed by from_packed)
+    rs = np.random.RandomState(9)
+    from hydra_tpu.io.plink import decode_bed_numpy
+    g, _ = decode_bed_numpy(ds.geno.packed, ds.geno.n)
+    g = g.astype(np.int64)
+    g[rs.random(g.shape) < 0.05] = -1
+    gd = GenotypeData.from_packed(_pack(g), ds.geno.n,
+                                  np.array([], dtype=np.int64))
+    assert int(np.asarray(gd.nm).sum()) > 0
+    import dataclasses
+    ds = dataclasses.replace(ds, geno=gd)
+    s1 = BayesRRmMT(ds, phenos, window=1, seed=5, mesh=make_mesh(2))
+    s4 = BayesRRmMT(ds, phenos, window=4, seed=5, mesh=make_mesh(2))
+    assert s4.cfg.exact and not s4.cfg.complete
+    st1, st4 = s1.init_state(), s4.init_state()
+    for it in range(3):
+        st1, _ = s1.step(st1, it)
+        st4, _ = s4.step(st4, it)
+    np.testing.assert_allclose(s1.beta_global(st1), s4.beta_global(st4),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st1.eps), np.asarray(st4.eps),
+                               atol=2e-4)
+
+
 def test_mt_matches_numpy_golden_model():
     """TPU mt sampler vs the independent sequential NumPy golden model
     (testing/reference_bayesrrm_mt.py): same posterior per trait under NaN

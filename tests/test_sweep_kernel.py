@@ -178,6 +178,16 @@ def test_exact_mega_matches_window_path_w8():
     _compare_exact(ds, window=8)
 
 
+def test_exact_mega_with_padded_markers():
+    """M not divisible by W: shard padding adds idle marker slots and the
+    per-sweep shuffle can park one at ANY window position — including
+    slot 0. The complete-mode c2 broadcast must therefore ride the
+    explicit lane mask, never a decoded marker mask row (a pad marker's
+    row is all-zero and would silently drop the window's c2 term)."""
+    ds, _, _ = simulate(m=68, n=256, h2=0.5, seed=31)   # m_loc=80: 12 pads
+    _compare_exact(ds, window=16, iters=4)
+
+
 def test_exact_mega_matches_window_path_missing():
     """Missing genotypes force the general (non-integer-Gram) exact path;
     it must still continue the per-window exact chain."""

@@ -16,7 +16,8 @@ from tests.test_bayesrrm_mt import simulate_mt
 
 
 def _mega_sampler(ds, phenos, window, seed):
-    s = BayesRRmMT(ds, phenos, window=window, seed=seed, mesh=make_mesh(1))
+    s = BayesRRmMT(ds, phenos, window=window, exact=False,
+                   seed=seed, mesh=make_mesh(1))
     s.cfg = dataclasses.replace(s.cfg, use_mega=True, interpret=True)
     s._step = s._build_step()
     return s
@@ -36,7 +37,8 @@ def _states_close(sa, sb, atol=5e-4):
 
 
 def _compare(ds, phenos, window, seed=7, iters=3):
-    ref = BayesRRmMT(ds, phenos, window=window, seed=seed, mesh=make_mesh(1))
+    ref = BayesRRmMT(ds, phenos, window=window, exact=False,
+                     seed=seed, mesh=make_mesh(1))
     assert not ref.cfg.use_mega          # CPU backend: XLA path
     mega = _mega_sampler(ds, phenos, window, seed)
     sr = ref.init_state()
