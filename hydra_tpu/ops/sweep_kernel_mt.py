@@ -296,3 +296,250 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
     out2 = out.reshape(n_windows, o_pad, W)[:, :3 * T, :]
     return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 3 * T)
+
+
+def _sweep_exact_mt_kernel(K: int, T: int, n_tiles: int, O_PAD: int, PREC,
+                           pk_ref, mrow_ref, eps_in_ref, tm_ref, sc_ref,
+                           out_ref, eps_ref, s1_s, s2_s, gram_s, c_s,
+                           csum_s, v_s, db_s):
+    """Whole-sweep EXACT multi-trait kernel (complete genotypes + full
+    phenotypes ONLY — the constructor gates it): phase 0 accumulates the
+    per-trait dots AND the trait-SHARED window Gram (one integer bf16 MXU
+    pass per plane — full phenotypes make the per-trait masked stats
+    collapse to the genotype stats, see samplers/bayesrrm_mt.py), then
+    runs the W-step sequential recurrence for all T traits at once in
+    (T, W) row layout; phase 1 applies the h-decode axpy per trait.
+
+    Reference semantics: sync-rate=1 of BayesRRm_mt.cpp:290-1426 per
+    trait (window-invariant; tests assert W=1 == W=4 chains)."""
+    w = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    km1 = K - 1
+    W = mrow_ref.shape[1]
+
+    @pl.when((w == 0) & (ph == 0))
+    def _():
+        eps_ref[t] = eps_in_ref[t]
+
+    pk32 = pk_ref[:, :].astype(jnp.int32)      # (W, tb)
+
+    @pl.when(ph == 0)
+    def _stats():
+        @pl.when(t == 0)
+        def _():
+            s1_s[:, :] = jnp.zeros_like(s1_s)
+            s2_s[:, :] = jnp.zeros_like(s2_s)
+            gram_s[:, :] = jnp.zeros_like(gram_s)
+            v_s[:, :] = jnp.zeros_like(v_s)
+
+        et = eps_ref[t]                        # (4T, tb)
+        s1 = [None] * T
+        s2 = [None] * T
+        vv = None
+        ct = (((1,), (1,)), ((), ()))
+        for k in range(4):
+            g, _m = _decode_k(pk32, k)
+            for tt in range(T):
+                e = et[k * T + tt: k * T + tt + 1, :]      # (1, tb)
+                a = jnp.sum(g * e, axis=1, keepdims=True)  # (W, 1)
+                s1[tt] = a if s1[tt] is None else s1[tt] + a
+                b = jnp.sum(e).reshape(1, 1)   # mask dot == sum(eps_t)
+                s2[tt] = b if s2[tt] is None else s2[tt] + b
+            c = jnp.sum(g, axis=1, keepdims=True)
+            vv = c if vv is None else vv + c
+            gb = g.astype(jnp.bfloat16)
+            gram_s[:, :] += jax.lax.dot_general(
+                gb, gb, ct, precision=PREC, preferred_element_type=f32)
+        for tt in range(T):
+            s1_s[:, tt:tt + 1] += s1[tt]
+            s2_s[0:1, tt:tt + 1] += s2[tt]
+        v_s[:, :] += vv
+
+        # ---- W-step sequential recurrence, all T traits per step ----
+        @pl.when(t == n_tiles - 1)
+        def _recur():
+            i2se = sc_ref[:, 0:1]              # (T, 1)
+            dNm1 = sc_ref[:, 1:2]
+            n_real = sc_ref[0, 2]
+            mave = mrow_ref[0:T, :]            # (T, W) — trait-shared rows
+            mstd = mrow_ref[T:2 * T, :]
+            bold = mrow_ref[2 * T:3 * T, :]
+            # standardize the shared integer Gram (rank-1 corrections;
+            # trait 0's stats row == every trait's, full phenotypes)
+            mave_r = mave[0:1, :]              # (1, W)
+            mstd_r = mstd[0:1, :]
+            v_r = jnp.transpose(v_s[:, :])     # (1, W)
+            gram_s[:, :] = (jnp.transpose(mstd_r) * mstd_r) * (
+                gram_s[:, :] - jnp.transpose(mave_r) * v_r
+                - v_s[:, :] * mave_r
+                + n_real * (jnp.transpose(mave_r) * mave_r))
+            s2v = jnp.transpose(s2_s[0:1, :])  # (T, 1) per-trait eps sums
+            num0 = mstd * (jnp.transpose(s1_s[:, :]) - mave * s2v) \
+                + bold * dNm1                  # (T, W)
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+            db_s[:, :] = jnp.zeros_like(db_s)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            bl, bi, bs = (6 * T, (6 + K) * T, (6 + 2 * K - 1) * T)
+
+            def _mt_step(j, onehot):
+                def colv(rows):
+                    return jnp.sum(rows * onehot, axis=1, keepdims=True)
+
+                grow = gram_s[pl.ds(j, 1), :]                # (1, W)
+                corr = jnp.sum(grow * db_s[:, :], axis=1,
+                               keepdims=True)                # (T, 1)
+                num = colv(num0) + corr
+                logls = [colv(mrow_ref[bl:bl + T, :])]
+                muks, sds = [], []
+                for k in range(km1):
+                    mu_k = num * colv(mrow_ref[bi + k * T:bi + (k + 1) * T, :])
+                    muks.append(mu_k)
+                    sds.append(colv(mrow_ref[bs + k * T:bs + (k + 1) * T, :]))
+                    logls.append(
+                        colv(mrow_ref[bl + (k + 1) * T:bl + (k + 2) * T, :])
+                        + mu_k * num * i2se)
+                mx = logls[0]
+                for k in range(1, K):
+                    mx = jnp.maximum(mx, logls[k])
+                prs = [jnp.exp(jnp.maximum(v - mx, -60.0)) for v in logls]
+                s = prs[0]
+                for k in range(1, K):
+                    s = s + prs[k]
+                u_s = colv(mrow_ref[3 * T:4 * T, :]) * s     # (T, 1)
+                cum = prs[0]
+                compf = jnp.zeros_like(u_s)
+                for k in range(km1):
+                    compf = compf + jnp.where(u_s > cum, 1.0, 0.0)
+                    cum = cum + prs[k + 1]
+                mu_sel = jnp.zeros_like(u_s)
+                sd_sel = jnp.zeros_like(u_s)
+                for k in range(km1):
+                    ksel = jnp.maximum(compf - 1.0, 0.0)
+                    mu_sel = jnp.where(ksel == float(k), muks[k], mu_sel)
+                    sd_sel = jnp.where(ksel == float(k), sds[k], sd_sel)
+                act = colv(mrow_ref[5 * T:6 * T, :]) > 0
+                beta_new = jnp.where(
+                    (compf > 0) & act,
+                    mu_sel + colv(mrow_ref[4 * T:5 * T, :]) * sd_sel, 0.0)
+                compf = jnp.where(act, compf, 0.0)
+                acum0 = jnp.where(act, prs[0] / s, 1.0)
+                dbeta_j = colv(bold) - beta_new              # (T, 1)
+                out_ref[0:T, :] += beta_new * onehot
+                out_ref[T:2 * T, :] += compf * onehot
+                out_ref[2 * T:3 * T, :] += acum0 * onehot
+                db_s[:, :] += dbeta_j * onehot
+                return 0
+
+            def fstep(j, _):
+                onehot = (lanes == j).astype(f32)
+                return _mt_step(j, onehot)
+
+            jax.lax.fori_loop(0, W, fstep, 0)
+            if O_PAD > 3 * T:
+                out_ref[3 * T:O_PAD, :] = jnp.zeros_like(
+                    out_ref[3 * T:O_PAD, :])
+
+            c1 = db_s[:, :] * mstd                           # (T, W)
+            c2 = -c1 * mave
+            c1h = c1.astype(jnp.bfloat16).astype(f32)
+            c_s[0:T, :] = c1h
+            c_s[T:2 * T, :] = c1 - c1h
+            # h-decode axpy constant (see _sweep_mt_kernel)
+            csum_s[:, :] = (2.0 * jnp.sum(c1, axis=1, keepdims=True)
+                            + jnp.sum(c2, axis=1, keepdims=True))
+
+    @pl.when(ph == 1)
+    def _axpy():
+        c1h = c_s[0:T, :]
+        c1l = c_s[T:2 * T, :]
+        for k in range(4):
+            h = _decode_h_int(pk32, k)
+            d = (csum_s[:, :]
+                 - jnp.dot(c1h, h, precision=PREC,
+                           preferred_element_type=f32)
+                 - jnp.dot(c1l, h, precision=PREC,
+                           preferred_element_type=f32))
+            # trait-mask rows equal the lane mask here (full phenotypes):
+            # they null pad lanes, incl. the csum constant
+            d = d * tm_ref[t, k * T:(k + 1) * T, :]
+            eps_ref[t, k * T:(k + 1) * T, :] += d
+
+
+def sweep_exact_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
+                   mrow: jax.Array, i_2se: jax.Array, dNm1: jax.Array, *,
+                   window: int, n_mix: int, n_traits: int,
+                   tile_bytes: int = 0, vma=None, interpret: bool = False
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Run a full EXACT multi-trait sweep in one kernel launch.
+
+    Same I/O contract as sweep_stale_mt. ONLY valid for complete
+    genotypes + full phenotypes (trait-shared stats; the caller gates
+    this — samplers/bayesrrm_mt.py). dNm1 must be (real N) - 1 for every
+    trait (full phenotypes make them equal)."""
+    m_loc, NB = pk_shuf.shape
+    T = n_traits
+    assert mrow.shape[1] == mt_mrow_width(n_mix, T), (mrow.shape, n_mix, T)
+    assert m_loc % window == 0, (m_loc, window)
+    W = window
+    n_windows = m_loc // W
+    tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 4.0)
+    n_tiles = NB // tb
+    C = mrow.shape[1]
+
+    c_pad = -(-C // 8) * 8
+    o_pad = -(-3 * T // 8) * 8
+    mrow_r = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
+    mrow_r = jnp.pad(mrow_r, ((0, 0), (0, c_pad - C), (0, 0)))
+    mrow_r = mrow_r.reshape(n_windows * c_pad, W)
+    eps_r = eps_t.reshape(4 * T, n_tiles, tb).transpose(1, 0, 2)
+    tm_r = tm_t.reshape(4 * T, n_tiles, tb).transpose(1, 0, 2)
+    sc = jnp.stack([i_2se.astype(f32), dNm1.astype(f32),
+                    dNm1.astype(f32) + 1.0], axis=1)       # (T, 3)
+
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
+                else jax.ShapeDtypeStruct(shape, f32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_windows, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 3), lambda w, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((o_pad, W), lambda w, p, t: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, T), f32),        # s1 per trait
+            pltpu.VMEM((W, T), f32),        # per-trait eps sums (row 0)
+            pltpu.VMEM((W, W), f32),        # shared window Gram
+            pltpu.VMEM((2 * T, W), f32),    # axpy coeff rows [c1h, c1l]
+            pltpu.VMEM((T, 1), f32),        # h-decode constant per trait
+            pltpu.VMEM((W, 1), f32),        # v = sum(g) per marker
+            pltpu.VMEM((T, W), f32),        # dbeta accumulator
+        ],
+    )
+    prec = jax.lax.Precision.HIGHEST if interpret else None
+    out, eps_out = pl.pallas_call(
+        functools.partial(_sweep_exact_mt_kernel, n_mix, T, n_tiles,
+                          o_pad, prec),
+        grid_spec=grid_spec,
+        out_shape=[sds((n_windows * o_pad, W)), sds((n_tiles, 4 * T, tb))],
+        interpret=interpret,
+    )(pk_shuf, mrow_r, eps_r, tm_r, sc)
+    eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
+    out2 = out.reshape(n_windows, o_pad, W)[:, :3 * T, :]
+    return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 3 * T)

@@ -446,10 +446,22 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             + [sd_k[:, :, j] for j in range(km1)], axis=1)
         assert mrow.shape[1] == mt_mrow_width(cfg.k, T)
 
-        eps_new_t, out_m = sweep_stale_mt(
-            pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
-            mrow, i_2se, dNm1, window=W, n_mix=cfg.k, n_traits=T,
-            complete=cfg.complete, vma=vma_axes, interpret=cfg.interpret)
+        if cfg.exact:
+            # exact mt mega (ops/sweep_kernel_mt.sweep_exact_mt): shared
+            # integer Gram + (T, W) recurrence in VMEM; the constructor
+            # gates this to complete genotypes + full phenotypes
+            from hydra_tpu.ops.sweep_kernel_mt import sweep_exact_mt
+
+            eps_new_t, out_m = sweep_exact_mt(
+                pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
+                mrow, i_2se, dNm1, window=W, n_mix=cfg.k, n_traits=T,
+                vma=vma_axes, interpret=cfg.interpret)
+        else:
+            eps_new_t, out_m = sweep_stale_mt(
+                pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
+                mrow, i_2se, dNm1, window=W, n_mix=cfg.k, n_traits=T,
+                complete=cfg.complete, vma=vma_axes,
+                interpret=cfg.interpret)
         # identity on the single shard the mega is gated to, but marks the
         # residual replicated again for shard_map's vma checker
         eps = jax.lax.psum(interleave_mt(eps_new_t, T), ma)
@@ -570,6 +582,11 @@ class BayesRRmMT:
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
+        complete_b = bool(np.asarray(geno.nm).sum() == 0)
+        full_ph = bool(np.isfinite(phenos).all())
+        # exact with W = 1 is the plain sequential schedule; skip the
+        # (identity) Gram machinery there
+        exact_b = exact and window > 1
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
@@ -577,19 +594,19 @@ class BayesRRmMT:
             n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
-            # whole-sweep mt mega-kernel: single marker shard; VMEM-gated
+            # whole-sweep mt mega-kernels: single marker shard; VMEM-gated
             # (two resident (4T, NB) f32 buffers -> T * n_pad <= 256K);
-            # mega="on"/"off" overrides the auto N-gate like BayesRRm's
+            # mega="on"/"off" overrides the auto N-gate like BayesRRm's.
+            # Exact mode has its own mega (sweep_exact_mt), valid only on
+            # complete genotypes + full phenotypes (trait-shared Gram)
             use_mega=(jax.default_backend() == "tpu" and window >= 8
-                      and not exact
+                      and (not exact_b or (complete_b and full_ph))
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1
                       and mega != "off"
                       and (mega == "on" or T * geno.n_pad <= 262144)),
-            complete=bool(np.asarray(geno.nm).sum() == 0),
-            # exact with W = 1 is the plain sequential schedule; skip the
-            # (identity) Gram machinery there
-            exact=exact and window > 1,
-            full_pheno=bool(np.isfinite(phenos).all()))
+            complete=complete_b,
+            exact=exact_b,
+            full_pheno=full_ph)
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes

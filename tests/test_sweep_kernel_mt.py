@@ -51,9 +51,41 @@ def _compare(ds, phenos, window, seed=7, iters=3):
     _states_close(sr, sm)
 
 
+def _compare_exact(ds, phenos, window, seed=7, iters=3):
+    """Exact mt mega kernel (interpret) vs the exact XLA window path."""
+    ref = BayesRRmMT(ds, phenos, window=window, seed=seed, mesh=make_mesh(1))
+    assert ref.cfg.exact and not ref.cfg.use_mega
+    mega = BayesRRmMT(ds, phenos, window=window, seed=seed,
+                      mesh=make_mesh(1))
+    mega.cfg = dataclasses.replace(mega.cfg, use_mega=True, interpret=True)
+    mega._step = mega._build_step()
+    sr = ref.init_state()
+    sm = mega.init_state()
+    for it in range(iters):
+        sr, str_ = ref.step(sr, it)
+        sm, stm = mega.step(sm, it)
+        np.testing.assert_allclose(np.asarray(str_.cass),
+                                   np.asarray(stm.cass))
+    _states_close(sr, sm)
+
+
 def test_mt_mega_matches_window_path():
     ds, phenos, _ = simulate_mt(m=96, n=320, n_traits=3, seed=5)
     _compare(ds, phenos, window=16)
+
+
+def test_mt_exact_mega_matches_window_path():
+    """Exact mt mega (shared integer Gram + (T, W) in-VMEM recurrence)
+    must continue the exact window path's chain."""
+    ds, phenos, _ = simulate_mt(m=96, n=320, n_traits=3, seed=5)
+    _compare_exact(ds, phenos, window=16)
+
+
+def test_mt_exact_mega_with_padded_markers():
+    """M % W != 0: pads shuffle into windows; the trait-mask rows must
+    null their lanes (incl. the h-decode csum constant)."""
+    ds, phenos, _ = simulate_mt(m=68, n=256, n_traits=2, seed=19)
+    _compare_exact(ds, phenos, window=16, iters=4)
 
 
 def test_mt_mega_matches_window_path_with_nans():
