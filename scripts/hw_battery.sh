@@ -49,4 +49,10 @@ timeout 1500 python -u bench.py --skip-baseline --model bayesw \
 log "6b bench mt T=4 (mega auto)"
 timeout 1800 python -u bench.py --skip-baseline --model mt --m 10000 \
     --n 50000 --window 256 >> "$OUT" 2>&1
+log "6c bench BayesW at scale (100Kx50K, mega auto)"
+timeout 2400 python -u bench.py --skip-baseline --model bayesw \
+    --m 100000 --n 50000 --window 64 --iters 40 >> "$OUT" 2>&1
+log "6d bench mt exact T=4 (exact mt mega)"
+timeout 2400 python -u bench.py --skip-baseline --model mt --m 10000 \
+    --n 50000 --window 64 --exact >> "$OUT" 2>&1
 log "done"

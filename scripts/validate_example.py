@@ -58,7 +58,8 @@ def validate_normal(args, bed, fh_mode=False):
         "--groupIndexFile", os.path.join(args.dir, "normal.group"),
         "--groupMixtureFile", os.path.join(args.dir, "normal.mS"),
         "--chain-length", str(args.chain), "--thin", "5", "--save", "20",
-        "--window", str(args.window), "--stale",
+        "--window", str(args.window),
+        *([] if args.exact else ["--stale"]),
         "--mcmc-out-dir", out, "--mcmc-out-name", "ex",
         "--seed", str(args.seed),
     ])
@@ -123,7 +124,8 @@ def validate_mt(args, bed):
                     + os.path.join(args.dir, "normal2.phen")),
         "--S", "0.001,0.01,0.1",
         "--chain-length", str(args.chain), "--thin", "5", "--save", "20",
-        "--window", str(args.window), "--stale",
+        "--window", str(args.window),
+        *([] if args.exact else ["--stale"]),
         "--mcmc-out-dir", out, "--mcmc-out-name", "exmt",
         "--seed", str(args.seed),
     ])
@@ -154,6 +156,9 @@ def main():
     ap.add_argument("--chain", type=int, default=600)
     ap.add_argument("--burn", type=int, default=300)
     ap.add_argument("--window", type=int, default=32)
+    ap.add_argument("--exact", action="store_true",
+                    help="validate the exact (Gram-corrected) default "
+                         "semantics instead of --stale")
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--device", default="",
                     help="jax platform override (e.g. cpu); the "
