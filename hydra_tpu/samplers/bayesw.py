@@ -563,13 +563,20 @@ class BayesW:
         self._gh = (jnp.asarray(gh_x, jnp.float32), jnp.asarray(gh_w, jnp.float32))
 
         # sum_failure per marker: (sum_{g=1} f + 2 sum_{g=2} f - mave*sum f)/sd
-        # (BayesW.cpp:1222-1229)
+        # (BayesW.cpp:1222-1229), computed BLOCKWISE over markers — a dense
+        # (M, N) host decode is tens of GB at bench scale (the mt sampler's
+        # masked stats use the same pattern)
         from hydra_tpu.io.plink import decode_bed_numpy
-        g_np, mask_np = decode_bed_numpy(geno.packed, geno.n)
         f = dataset.fail
         fsum = f.sum()
-        s1f = ((g_np == 1.0) & (mask_np == 1.0)) @ f
-        s2f = (g_np == 2.0) @ f
+        s1f = np.zeros(geno.m)
+        s2f = np.zeros(geno.m)
+        blk = max(1, (1 << 27) // max(geno.n, 1))
+        for s0 in range(0, geno.m, blk):
+            e0 = min(geno.m, s0 + blk)
+            g_np, mask_np = decode_bed_numpy(geno.packed[s0:e0], geno.n)
+            s1f[s0:e0] = ((g_np == 1.0) & (mask_np == 1.0)) @ f
+            s2f[s0:e0] = (g_np == 2.0) @ f
         with np.errstate(divide="ignore", invalid="ignore"):
             sum_fail = (s1f + 2.0 * s2f - geno.mave * fsum) / geno.msd
         sum_fail[~np.isfinite(sum_fail)] = 0.0
