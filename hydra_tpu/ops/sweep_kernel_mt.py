@@ -19,9 +19,12 @@ Everything per-(marker, trait) is precomputed by the sampler into a
 (m_loc, mt_mrow_width(K, T)) row array in shuffled order — K-blocks of T
 columns so the in-kernel draw slices (W, T) arrays directly.
 
-Scope: stale windows on a single marker shard (n_dev == n_ind == n_dcn ==
-1). Semantics are identical to the per-window mt path
-(tests/test_sweep_kernel_mt.py asserts chain equality).
+Scope: single marker shard (n_dev == n_ind == n_dcn == 1). Semantics are
+identical to the per-window mt path (tests/test_sweep_kernel_mt.py
+asserts chain equality). A second kernel, sweep_exact_mt, fuses the
+EXACT-mode sweep (shared integer Gram + the (T, W) sequential recurrence
+in VMEM) for complete genotypes + full phenotypes — 60.2 -> 10.75 ms at
+T=4, M=10K x N=50K, W=64 (2026-08-19, v5e).
 
 Reference behavior: BayesRRm_mt.cpp:290-1426 (present-but-disabled in the
 reference; see samplers/bayesrrm_mt.py module docstring).
