@@ -164,7 +164,8 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     writers = [
         McmcWriter(mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
                    ds.mS.shape[1], opt.thin, opt.save, opt.seed,
-                   covariates=opt.covariates, window=opt.window, exact=False)
+                   covariates=opt.covariates, window=opt.window,
+                   exact=opt.exact)
         for t in range(T)
     ]
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)

@@ -327,6 +327,41 @@ def test_cli_multi_trait(tmp_path):
         assert [int(r.split(",")[0]) for r in rows] == [6, 8]
 
 
+def test_cli_multi_trait_restart_bitwise(tmp_path):
+    """mt restart, no --seed re-passed: full chain == truncated + --restart
+    bitwise per trait (counter-based RNG + complete per-trait state
+    restore; exercises the exact-mt default path end to end)."""
+    base, _ = make_synthetic_bed(tmp_path, 24, 80, seed=33)
+    rs = np.random.RandomState(34)
+    for t in (1, 2):
+        with open(base + f".phen{t}", "w") as fh:
+            for i in range(80):
+                fh.write(f"per{i} per{i} {rs.randn():.5f}\n")
+    out = str(tmp_path / "outmtb")
+    common = ["--mpibayes", "bayesMPI", "--bfile", base,
+              "--pheno", f"{base}.phen1,{base}.phen2",
+              "--mcmc-out-dir", out, "--thin", "2", "--save", "4",
+              "--S", "0.001,0.01,0.1"]
+    _run_cli(common + ["--mcmc-out-name", "full", "--chain-length", "16",
+                       "--seed", "41"])
+    _run_cli(common + ["--mcmc-out-name", "cut", "--chain-length", "8",
+                       "--seed", "41"])
+    _run_cli(common + ["--mcmc-out-name", "cut", "--chain-length", "16",
+                       "--restart"])
+    for t in range(2):
+        fb = os.path.join(out, f"full.t{t}")
+        rb = os.path.join(out, f"cut_rs.t{t}")
+        full_rows = {int(r.split(",")[0]): r.strip()
+                     for r in open(fb + ".csv").read().strip().split("\n")}
+        rs_rows = {int(r.split(",")[0]): r.strip()
+                   for r in open(rb + ".csv").read().strip().split("\n")}
+        # cut chain's last save is it 4 -> restart resumes at 5; thinned
+        # rows from 6 on must match the full chain bitwise
+        assert sorted(rs_rows) == [6, 8, 10, 12, 14]
+        for it, row in rs_rows.items():
+            assert row == full_rows[it], f"trait {t} csv it {it} differs"
+
+
 def test_cli_multi_trait_covariates_and_acu(tmp_path):
     """mt with --covariates: per-trait .gam.0 dumps and real .acu records
     (BayesRRm_mt.cpp:706-708; the reference's own mt covariate block is
