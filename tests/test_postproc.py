@@ -80,6 +80,100 @@ def test_postproc_cli_runs_on_real_output(tmp_path):
     assert len(r.stdout.strip().split("\n")) == 20
 
 
+def test_ess_iid_and_ar1():
+    """ESS of iid draws ~ n; of AR(1) with phi=0.9 ~ n(1-phi)/(1+phi);
+    split-R-hat near 1 for same-distribution chains, inflated for shifted."""
+    rs = np.random.RandomState(7)
+    n = 4000
+    iid = [rs.randn(n), rs.randn(n)]
+    rhat, ess = postproc._split_rhat_ess(iid)
+    assert abs(rhat - 1.0) < 0.02
+    assert 0.7 * 2 * n < ess <= 2 * n * np.log10(2 * n)
+    phi = 0.9
+    ar = np.empty(n)
+    ar[0] = rs.randn()
+    for i in range(1, n):
+        ar[i] = phi * ar[i - 1] + np.sqrt(1 - phi * phi) * rs.randn()
+    _, ess_ar = postproc._split_rhat_ess([ar])
+    expected = n * (1 - phi) / (1 + phi)   # ~211
+    assert 0.4 * expected < ess_ar < 2.5 * expected
+    rhat_bad, _ = postproc._split_rhat_ess([rs.randn(n), rs.randn(n) + 3.0])
+    assert rhat_bad > 1.5
+
+
+def test_chain_stats_parses_both_layouts(tmp_path):
+    """ess auto-detects the BayesRRm vs BayesW csv row layouts by writing
+    rows through the writers themselves (BayesRRm.cpp:2742-2761 /
+    BayesW.cpp:1942-1961)."""
+    from hydra_tpu.outputs.writers import McmcWriter
+    w = McmcWriter.__new__(McmcWriter)   # only the row formatters needed
+    rs = np.random.RandomState(1)
+    brr = tmp_path / "brr.csv"
+    with open(brr, "w") as fh:
+        for it in range(20):
+            fh.write(w.csv_row_brr(it, np.abs(rs.randn(2)) + 0.3,
+                                   1.0 + 0.1 * rs.rand(), 5 + it % 3,
+                                   np.full((2, 3), 1 / 3)))
+    bw = tmp_path / "bw.csv"
+    with open(bw, "w") as fh:
+        for it in range(20):
+            fh.write(w.csv_row_bw(it, 0.1 * rs.randn(),
+                                  np.abs(rs.randn(2)) + 0.3,
+                                  10 + rs.rand(), 7, np.full((2, 3), 1 / 3)))
+    sb = postproc.chain_stats([str(brr)], out=io.StringIO())
+    assert set(sb) == {"sigmaG", "sigmaE", "h2", "m0"}
+    assert 0 < sb["h2"]["mean"] < 1
+    sw = postproc.chain_stats([str(bw)], out=io.StringIO())
+    assert set(sw) == {"sigmaG", "alpha", "h2", "m0"}
+    assert 10 < sw["alpha"]["mean"] < 11.1
+    assert sw["m0"]["rhat"] == 1.0       # constant trace: trivially converged
+
+
+def test_predict_matches_numpy(tmp_path):
+    """predict == dense NumPy scoring with missing-to-mean imputation and
+    the intercept from .mus.0."""
+    from hydra_tpu.io import plink
+    rs = np.random.RandomState(5)
+    m, n = 30, 50
+    geno = rs.binomial(2, 0.4, size=(m, n)).astype(np.int64)
+    geno[rs.rand(m, n) < 0.05] = -1                   # missing
+    geno[3, :] = 1                                    # zero-variance marker
+    base = str(tmp_path / "score")
+    plink.write_bed(base + ".bed", geno)
+    with open(base + ".fam", "w") as fh:
+        for i in range(n):
+            fh.write(f"F{i} I{i} 0 0 1 -9\n")
+    with open(base + ".bim", "w") as fh:
+        for j in range(m):
+            fh.write(f"1 snp{j} 0 {j + 1} A G\n")
+    recs = [(0, rs.randn(m)), (2, rs.randn(m)), (4, rs.randn(m))]
+    bet = str(tmp_path / "run.bet")
+    _write_bet(bet, m, recs)
+    mus = str(tmp_path / "run.mus.0")
+    with open(mus, "wb") as fh:
+        for it, mu in [(0, 1.5), (2, 0.5), (4, 1.0)]:
+            fh.write(np.asarray([it], np.uint32).tobytes())
+            fh.write(np.asarray([mu], np.float64).tobytes())
+    out = str(tmp_path / "scores.txt")
+    score = postproc.predict(bet, base, burnin=1, mus_path=mus,
+                             out_path=out, block=7)
+    # golden: dense NumPy with the same semantics
+    beta = (recs[1][1] + recs[2][1]) / 2
+    mask = (geno >= 0).astype(np.float64)
+    g = np.where(geno >= 0, geno, 0).astype(np.float64)
+    nobs = mask.sum(1)
+    mave = (g * mask).sum(1) / nobs
+    var = (mask * (g - mave[:, None]) ** 2).sum(1) / np.maximum(nobs - 1, 1)
+    mstd = np.sqrt(var)
+    want = np.full(n, 0.75)                           # mean mu after burnin
+    for j in range(m):
+        if mstd[j] > 0:
+            want += beta[j] / mstd[j] * mask[j] * (g[j] - mave[j])
+    np.testing.assert_allclose(score, want, rtol=1e-12)
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == n and lines[0].startswith("F0 I0 ")
+
+
 def test_compression_roundtrip():
     x = np.random.RandomState(3).randn(1000)
     blob = compress_doubles(x)
