@@ -52,6 +52,10 @@ class Options:
     burnin: int = 5000                   # --burn-in
     seed: int = 0                        # --seed (default: time(0), options.hpp:104)
     seed_given: bool = False             # True when --seed was passed explicitly
+    window_auto: bool = False            # True when the exact default window
+                                         # was hardware-sized (not user-set);
+                                         # the runner may re-size it once N is
+                                         # known (identical semantics)
     thin: int = 5                        # --thin
     save: int = 10                       # --save
     S: List[float] = field(default_factory=lambda: [0.01, 0.001, 0.0001])  # --S
@@ -137,6 +141,7 @@ class Options:
                 # fused Pallas window kernels (gated at W >= 8) instead of a
                 # per-marker XLA scan, at identical semantics.
                 self.window = 64
+                self.window_auto = True
                 if self.sync_rate != self.window:
                     print("INFO   : exact mode: using window=64 (window-"
                           "invariant semantics; pass --window to override)",

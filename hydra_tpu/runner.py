@@ -108,6 +108,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         X = pheno_io.read_csv_covariates(opt.covariates_file, n)
         ds = _dc.replace(ds, X=X)
     T = phenos.shape[0]
+    _autosize_exact_window(opt, ds.n)
     mcmc_out = opt.mcmc_out
     rds = None
     if opt.restart:
@@ -208,6 +209,21 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     return dict(state=state, stats=stats, sampler=sampler)
 
 
+def _autosize_exact_window(opt: Options, n: int) -> None:
+    """Hardware-size the exact-mode window once N is known. Exact mode is
+    window-invariant (the Gram correction reproduces sequential Gibbs for any
+    W), so this only changes speed. Measured (hw battery 2026-08-19, exact
+    mega, M=100K x N=50K): W=128 -> 73.2 ms/sweep vs W=64 -> 75.7 vs
+    W=256 -> 79.0 — wide N amortizes per-window fixed costs until the O(W^2)
+    in-window recurrence bites. Fires only for the auto default
+    (options.py:139), never for a user-passed --window."""
+    if opt.window_auto and opt.exact and n > 16384 and opt.window == 64:
+        opt.window = 128
+        print("INFO   : exact mode: window auto-sized to 128 for N > 16384 "
+              "(window-invariant semantics; measured faster at wide N)",
+              flush=True)
+
+
 def apply_restart_rng(opt: Options, rd) -> None:
     """Continue the saved chain's RNG stream (the reference restores the full
     boost state from .rng.<rank>, BayesRRm.cpp:1204,
@@ -221,9 +237,17 @@ def apply_restart_rng(opt: Options, rd) -> None:
               flush=True)
     opt.seed = rd.seed
     if rd.rng_window is not None and rd.rng_window != opt.window:
-        print(f"WARNING: restart with --window {opt.window} but the chain was "
-              f"saved with window {rd.rng_window}; the restarted chain will "
-              f"not reproduce the uninterrupted one", flush=True)
+        if opt.window_auto:
+            # the window was hardware-sized, not user-chosen: adopt the saved
+            # chain's schedule so the restart stays bitwise-faithful
+            print(f"INFO   : restart: adopting the saved chain's window "
+                  f"{rd.rng_window} (auto default was {opt.window})",
+                  flush=True)
+            opt.window = rd.rng_window
+        else:
+            print(f"WARNING: restart with --window {opt.window} but the chain "
+                  f"was saved with window {rd.rng_window}; the restarted chain "
+                  f"will not reproduce the uninterrupted one", flush=True)
     if rd.rng_exact is not None and rd.rng_exact != opt.exact:
         print(f"WARNING: restart with exact={opt.exact} but the chain was "
               f"saved with exact={rd.rng_exact}; the restarted chain will "
@@ -235,6 +259,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
     """Full BayesRRm/FH chain with hydra-format outputs and restart."""
     ds = dataset if dataset is not None else dataset_from_options(opt)
     fh = opt.bayes_type == "bayesFHMPI"
+    _autosize_exact_window(opt, ds.n)
 
     mcmc_out = opt.mcmc_out
     rd = None

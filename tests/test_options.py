@@ -54,6 +54,50 @@ def test_bayesw_window_64_no_warning(capsys):
     assert "BIAS_SWEEP_BW" not in capsys.readouterr().out
 
 
+def test_exact_window_autosizes_at_wide_n(capsys):
+    """The defaulted exact window is hardware-sized once N is known
+    (runner._autosize_exact_window): W=128 measured faster than W=64 at
+    N=50K (73.2 vs 75.7 ms exact mega, hw battery 2026-08-19). A
+    user-passed --window is never touched, nor is stale mode."""
+    from hydra_tpu.runner import _autosize_exact_window
+    opt = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
+                      "--pheno", "x.phen"])
+    assert opt.window_auto
+    _autosize_exact_window(opt, 5000)
+    assert opt.window == 64                 # small N keeps 64
+    _autosize_exact_window(opt, 50000)
+    assert opt.window == 128
+    assert "auto-sized to 128" in capsys.readouterr().out
+    explicit = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
+                           "--pheno", "x.phen", "--window", "64"])
+    _autosize_exact_window(explicit, 50000)
+    assert explicit.window == 64 and not explicit.window_auto
+    stale = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
+                        "--pheno", "x.phen", "--stale", "--sync-rate", "64"])
+    _autosize_exact_window(stale, 50000)
+    assert stale.window == 64
+
+
+def test_restart_adopts_saved_window_when_auto(capsys):
+    """An auto-sized window yields to the saved chain's schedule on restart
+    (bitwise faithfulness beats the speed default)."""
+    from types import SimpleNamespace
+    from hydra_tpu.runner import apply_restart_rng
+    opt = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
+                      "--pheno", "x.phen"])
+    rd = SimpleNamespace(seed=7, rng_window=128, rng_exact=True)
+    apply_restart_rng(opt, rd)
+    assert opt.window == 128 and opt.seed == 7
+    out = capsys.readouterr().out
+    assert "adopting the saved chain's window" in out
+    assert "WARNING" not in out
+    explicit = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
+                           "--pheno", "x.phen", "--window", "32"])
+    apply_restart_rng(explicit, rd)
+    assert explicit.window == 32            # user choice wins, with a warning
+    assert "WARNING" in capsys.readouterr().out
+
+
 def test_cache_planes_auto_is_alias_of_off():
     opt = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
                       "--pheno", "x.phen", "--cache-planes", "auto"])
