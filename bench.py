@@ -91,6 +91,35 @@ def make_problem(m, n, seed=1, block=4096):
     return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
 
 
+def load_or_make_problem(m, n, cache_path=""):
+    """make_problem with an optional on-disk cache: at-scale generation is
+    host-bound (~13 min at M=500K x N=50K or M=20K x N=458K), so repeated
+    hardware measurements of the same config reload the packed bytes +
+    phenotype instead (marker stats are recomputed from the packed bytes)."""
+    from hydra_tpu.data.genotypes import Dataset, GenotypeData, make_default_groups
+
+    if cache_path and os.path.exists(cache_path):
+        t0 = time.time()
+        z = np.load(cache_path)
+        packed, y, n_cached = z["packed"], z["y"], int(z["n"])
+        if packed.shape[0] != m or n_cached != n:
+            raise SystemExit(f"--problem-cache {cache_path} holds "
+                             f"M={packed.shape[0]} N={n_cached}, not the "
+                             f"requested M={m} N={n}")
+        gd = GenotypeData.from_packed(packed, n, np.array([], dtype=np.int64))
+        groups, mS = make_default_groups(m, [0.0001, 0.001, 0.01])
+        print(f"# gen: loaded problem cache in {time.time() - t0:.1f} s",
+              file=sys.stderr, flush=True)
+        return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
+    ds = make_problem(m, n)
+    if cache_path:
+        t0 = time.time()
+        np.savez(cache_path, packed=ds.geno.packed, y=np.asarray(ds.y), n=n)
+        print(f"# gen: saved problem cache in {time.time() - t0:.1f} s",
+              file=sys.stderr, flush=True)
+    return ds
+
+
 def measure_numpy_baseline(ds, sweeps=2, cached_only=False):
     """Sequential reference-math sweep timing (cached). cached_only:
     return (None, False) rather than measure (--skip-baseline still uses
@@ -297,6 +326,9 @@ def main():
                     default="bayesrrm")
     ap.add_argument("--device", default="",
                     help="override JAX platform (cpu for baseline subprocess)")
+    ap.add_argument("--problem-cache", default="",
+                    help="npz path: cache/reload the synthetic problem "
+                         "(skips the host-bound generation on reruns)")
     args = ap.parse_args()
 
     import jax
@@ -306,7 +338,7 @@ def main():
     from hydra_tpu.parallel.mesh import make_mesh
     from hydra_tpu.samplers.bayesrrm import BayesRRm
 
-    ds = make_problem(args.m, args.n)
+    ds = load_or_make_problem(args.m, args.n, args.problem_cache)
 
     if args.model == "bayesw":
         run_bayesw_bench(ds, args)
