@@ -77,14 +77,21 @@ def make_problem(m, n, seed=1, block=4096):
     print(f"# gen: marker stats in {time.time() - t0:.1f} s",
           file=sys.stderr, flush=True)
 
-    # phenotype from a causal subset only (decode just those rows)
+    # phenotype from a causal subset only (decode just those rows, blockwise
+    # f32 — a single (ncausal, N) f64 intermediate is ~7 GB at N=458K)
     t0 = time.time()
     ncausal = max(10, min(m // 10, 2000))
     causal = np.sort(rs.choice(m, ncausal, replace=False))
     beta_c = rs.randn(ncausal) * np.sqrt(0.5 / ncausal)
-    g_c, mask_c = decode_bed_numpy(gd.packed[causal], n)
-    xs = (g_c - gd.mave[causal][:, None] * mask_c) * gd.mstd[causal][:, None]
-    y = xs.T @ beta_c + rs.randn(n) * np.sqrt(0.5)
+    y = np.zeros(n, dtype=np.float64)
+    for cs in range(0, ncausal, 256):
+        ce = min(ncausal, cs + 256)
+        rows = causal[cs:ce]
+        g_c, mask_c = decode_bed_numpy(gd.packed[rows], n)
+        xs = ((g_c - gd.mave[rows][:, None] * mask_c)
+              * gd.mstd[rows][:, None]).astype(np.float32)
+        y += xs.T @ beta_c[cs:ce].astype(np.float32)
+    y += rs.randn(n) * np.sqrt(0.5)
     groups, mS = make_default_groups(m, [0.0001, 0.001, 0.01])
     print(f"# gen: phenotype in {time.time() - t0:.1f} s",
           file=sys.stderr, flush=True)
