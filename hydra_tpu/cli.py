@@ -18,6 +18,16 @@ from hydra_tpu.options import parse_args
 def main(argv=None) -> int:
     opt = parse_args(argv)
 
+    if opt.device:
+        # Platform override BEFORE any backend init. On this class of host a
+        # sitecustomize may import jax and register a TPU plugin at
+        # interpreter startup; env JAX_PLATFORMS is already consumed by
+        # then, but jax.config.update still works until the first backend
+        # use. The reference binary runs anywhere MPI does (main.cpp) —
+        # --device cpu restores that property here.
+        import jax
+        jax.config.update("jax_platforms", opt.device)
+
     # multi-host pods: no-op on a single host (parallel/distributed.py)
     from hydra_tpu.parallel.distributed import init_distributed
     init_distributed()

@@ -98,6 +98,9 @@ class Options:
     dtype: str = "float32"               # accumulation dtype
     plane_cache: str = "off"             # int8 decoded-plane cache (ops/planes.py)
     mega: str = "auto"                   # whole-sweep mega-kernel gate override
+    cross_sync: int = 0                  # exact-mode cross-shard exchange
+                                         # interval B (markers); 0 -> window
+    device: str = ""                     # JAX platform override (cpu|tpu|...)
 
     @property
     def mcmc_out(self) -> str:
@@ -273,6 +276,19 @@ def build_parser() -> argparse.ArgumentParser:
       help="whole-sweep mega-kernel (single-shard stale runs): auto gates "
            "on the VMEM-resident residual size; on forces it beyond the "
            "N auto-gate, off disables")
+    a("--cross-sync", dest="cross_sync", type=int, default=0,
+      help="exact mode, >1 marker shards: apply OTHER shards' delta-betas "
+           "to the in-window correction every B markers (must divide the "
+           "window). Default 0 = once per window (the window-boundary "
+           "residual psum; no in-window collective — strictly fresher than "
+           "the reference at --sync-rate=window, which freezes epsilon "
+           "on-rank too). 1 = strict syncRate-1 parity (one scalar/shard "
+           "collective per marker step; latency-bound at scale)")
+    a("--device", dest="device", default="",
+      choices=["", "cpu", "tpu"],
+      help="JAX platform override, applied before any backend init "
+           "(the reference runs anywhere MPI does; this makes the CLI "
+           "runnable without TPU access, e.g. --device cpu)")
     # Reference-compat flags. --raw-update selects a numerically identical
     # epsilon update formula in the reference's 1-rank path (BayesW.cpp:1812)
     # -> accepted no-op. The PPBayes/preprocess flags select the non-MPI
@@ -355,6 +371,8 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.dtype = ns.dtype
     opt.plane_cache = ns.plane_cache
     opt.mega = ns.mega
+    opt.cross_sync = ns.cross_sync
+    opt.device = ns.device
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
         raise SystemExit(
             "FATAL  : the PPBayes/preprocess path is not built in the "

@@ -94,10 +94,26 @@ class BayesRRmConfig:
     n_ind: int = 1       # individual-axis shards (2-D mesh); 1 = replicated eps
     n_dcn: int = 1       # multi-slice: markers shard over ("dcn", "markers")
     exact: bool = True
+    # Exact-mode cross-shard exchange interval B (markers). Within a shard
+    # the window recurrence is always exact-sequential; OTHER shards'
+    # delta-betas are applied to the in-window correction every B steps.
+    # B == window (the default): one exchange per window — the residual
+    # psum at the window boundary carries everything, so no in-window
+    # collective at all (same comm profile as stale mode) and the
+    # semantics are strictly FRESHER than the reference at syncRate=W
+    # (the reference freezes eps within the window even on-rank,
+    # BayesRRm.cpp:1700,2460). B == 1: strict syncRate=1 parity — every
+    # step ships one scalar/shard over ICI (latency-bound; the reference
+    # pays a full N-length MPI_Allreduce per marker for the same
+    # semantics, BayesRRm.cpp:2051,2456). 1 < B < W: W/B all_gathers of
+    # (B,)-vectors per window, corrections via the cross-shard Gram
+    # blocks. Single-shard runs ignore this (always exact-sequential).
+    cross_sync: int = 0  # resolved to min(B, window) in __init__; 0 = window
     fh: bool = False
     shuffle: bool = True
     use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
     use_mega: bool = False     # whole-sweep mega-kernel (single-shard stale)
+    use_wmega: bool = False    # per-window fused sweep kernels (multi-shard)
     use_planes: bool = False   # cached int8 decoded planes (ops/planes.py)
     interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes anywhere (fast kernels)
@@ -156,6 +172,11 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     dNm1 = f32(cfg.n_real - 1)
     km1 = cfg.k - 1
     W = cfg.window
+    # cross-shard exchange interval (see BayesRRmConfig.cross_sync);
+    # local_exact: no in-window collective — other shards' deltas arrive
+    # via the window-boundary residual psum only
+    B_cs = min(cfg.cross_sync, W) if cfg.cross_sync > 0 else W
+    local_exact = cfg.n_dev == 1 or B_cs >= W
     # ma: the (possibly hierarchical) marker axis — ("dcn", "markers") on
     # multi-slice meshes; collectives over `ma` reduce across all marker
     # shards, ICI-first (see parallel/mesh.py).
@@ -265,7 +286,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             from hydra_tpu.ops.window_kernels import window_stats
 
             s1, s2, gram_fused = window_stats(
-                pk, eps, mave_w, mstd_w, cfg.exact and cfg.n_dev == 1,
+                pk, eps, mave_w, mstd_w, local_exact,
                 vma=vma_axes, complete=cfg.complete, n_real=n_real_loc)
             if s2 is None:
                 # complete data: every marker's mask dot is just sum(eps)
@@ -339,16 +360,17 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             acum0 = jnp.where(act_w, probs[:, 0], 1.0)
             return beta_new, comp, acum0
 
-        if cfg.exact and cfg.use_pallas and cfg.n_dev == 1:
+        if cfg.exact and cfg.use_pallas and local_exact:
             # Fused in-VMEM recurrence kernel (ops/gibbs_kernel.py): exact
             # sequential Gibbs at VPU latency instead of XLA-scan overhead.
-            # Single marker shard only — with >1 shard the cross-shard
-            # correction below needs collectives Pallas cannot issue.
+            # Runs whenever no in-window collective is needed: single shard,
+            # or multi-shard with cross_sync >= window (other shards' deltas
+            # ride the window-boundary residual psum).
             from hydra_tpu.ops.gibbs_kernel import window_gibbs
 
             dbeta, bnew_w, comp_w, acum_w = window_gibbs(
                 gram_fused, num0, logl_static, inv_denomk, sd_k, u_w, nrm_w,
-                act_w.astype(f32), bold_w, i_2se, vma=(MARKER_AXIS,))
+                act_w.astype(f32), bold_w, i_2se, vma=vma_axes)
         elif cfg.exact:
             # Gram correction: num_j += sum_{t<j} dbeta_t Gram_jt recovers
             # exact sequential Gibbs within the shard. Across shards the
@@ -358,7 +380,22 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             # residual syncs, same-step markers mutually stale,
             # BayesRRm.cpp:2044-2060) without any N-length collective
             # inside the window.
-            if cfg.complete and cfg.n_dev > 1:
+            if local_exact:
+                # cross_sync >= window: no cross-shard blocks at all — the
+                # window-boundary residual psum below is the only collective
+                # (same comm profile as stale mode; semantics strictly
+                # fresher than the reference at syncRate=W, which freezes
+                # eps on-rank too, BayesRRm.cpp:1700,2460)
+                if gram_fused is not None:
+                    blocks = gram_fused[None]
+                else:
+                    if xt is None:
+                        A, Bm = decode_planes_hp(pk, f32)
+                        xt = (A - mave_w[:, None] * Bm) * mstd_w[:, None]
+                    blocks = psum_i(jnp.dot(
+                        xt, xt.T, preferred_element_type=f32,
+                        precision=_HI))[None]
+            elif cfg.complete and cfg.n_dev > 1:
                 # Complete data, multi-shard: ship the RAW 2-bit packed
                 # bytes ((W, NB) uint8 — 16x less ICI/DCN traffic than f32
                 # planes) plus one (3, W) stats row [mave, mstd, v=sum(g)],
@@ -434,7 +471,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 blocks = psum_i(jnp.einsum(
                     "wn,dvn->dwv", xt, buf_all,
                     preferred_element_type=f32, precision=_HI))
-            elif cfg.n_dev > 1:
+            else:
                 if xt is None:
                     A, B = decode_planes_hp(pk, f32)
                     xt = (A - mave_w[:, None] * B) * mstd_w[:, None]
@@ -452,12 +489,10 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                     blocks = blocks + oh[:, None, None] * blk[None]
                     if r < cfg.n_dev - 1:
                         buf = jax.lax.ppermute(buf, MARKER_AXIS, ring)
-            else:
-                blocks = psum_i(
-                    jnp.dot(xt, xt.T, preferred_element_type=f32, precision=_HI))[None]
 
-            def marker_step(corr, j):
-                num_j = num0[j] + corr[j]
+            def draw_one(j, num_j):
+                """Sequential-recurrence draw for marker slot j given its
+                corrected dot product (shared by every exact scan variant)."""
                 muk = num_j * inv_denomk[j]
                 logL = jnp.concatenate(
                     [logl_static[j, :1],
@@ -473,20 +508,60 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 comp = jnp.where(act_w[j], comp, 0)
                 acum0 = jnp.where(act_w[j], probs[0], 1.0)
                 db = bold_w[j] - beta_new
-                if cfg.n_dev > 1:
-                    # one scalar per shard rides ICI each step — the
-                    # latency-bound analogue of the reference's per-marker
-                    # Sum|dBeta| allreduce (BayesRRm.cpp:2051)
-                    db_all = jax.lax.all_gather(db, ma)
-                else:
-                    db_all = db[None]
-                corr = corr + jnp.tensordot(db_all, blocks[:, :, j], axes=1)
-                return corr, (beta_new, comp, acum0, db)
+                return beta_new, comp, acum0, db
 
             corr0 = jax.lax.pcast(
                 jnp.zeros((W,), f32), ma, to="varying")
-            _, (bnew_w, comp_w, acum_w, dbeta) = jax.lax.scan(
-                marker_step, corr0, jnp.arange(W))
+            if cfg.n_dev > 1 and not local_exact and B_cs > 1:
+                # batched cross-shard exchange: the inner scan applies only
+                # OWN-shard corrections (exact within shard); every B_cs
+                # steps one (B_cs,)-vector all_gather applies the other
+                # shards' deltas — W/B_cs collectives per window instead of
+                # W (cross_sync=1) or the reference's W N-length allreduces
+                own = jnp.take(blocks, dev, axis=0)          # (W, W) local
+
+                def inner_step(carry, jj):
+                    corr, b = carry
+                    j = b * B_cs + jj
+                    beta_new, comp, acum0, db = draw_one(j, num0[j] + corr[j])
+                    corr = corr + db * own[:, j]
+                    return (corr, b), (beta_new, comp, acum0, db)
+
+                def batch_body(corr, b):
+                    (corr, _), outs = jax.lax.scan(
+                        inner_step, (corr, b), jnp.arange(B_cs))
+                    db_b = outs[3]                           # (B_cs,)
+                    db_all = jax.lax.all_gather(db_b, ma)    # (n_dev, B_cs)
+                    cols = jax.lax.dynamic_slice(
+                        blocks, (0, 0, b * B_cs), (cfg.n_dev, W, B_cs))
+                    cross = jnp.einsum("dt,dwt->w", db_all, cols,
+                                       precision=_HI)
+                    own_cols = jax.lax.dynamic_slice(
+                        own, (0, b * B_cs), (W, B_cs))
+                    corr = corr + cross - jnp.einsum(
+                        "t,wt->w", db_b, own_cols, precision=_HI)
+                    return corr, outs
+
+                _, outs = jax.lax.scan(
+                    batch_body, corr0, jnp.arange(W // B_cs))
+                bnew_w, comp_w, acum_w, dbeta = (
+                    o.reshape(W) for o in outs)
+            else:
+                def marker_step(corr, j):
+                    beta_new, comp, acum0, db = draw_one(j, num0[j] + corr[j])
+                    if cfg.n_dev > 1 and not local_exact:
+                        # one scalar per shard rides ICI each step — strict
+                        # syncRate=1 parity (the reference pays a full
+                        # N-length MPI_Allreduce per marker for the same
+                        # semantics, BayesRRm.cpp:2051,2456)
+                        db_all = jax.lax.all_gather(db, ma)
+                    else:
+                        db_all = db[None]
+                    corr = corr + jnp.tensordot(db_all, blocks[:, :, j], axes=1)
+                    return corr, (beta_new, comp, acum0, db)
+
+                _, (bnew_w, comp_w, acum_w, dbeta) = jax.lax.scan(
+                    marker_step, corr0, jnp.arange(W))
         else:
             # Stale-window semantics (the reference's sync-rate relaxation,
             # BayesRRm.cpp:2044-2488): draws are independent given the frozen
@@ -542,20 +617,24 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
 
     cass0 = jax.lax.pcast(
         jnp.zeros((cfg.num_groups, cfg.k), f32), ma, to="varying")
-    if cfg.use_mega:
+    if cfg.use_mega or cfg.use_wmega:
         # ---- whole-sweep mega-kernel (ops/sweep_kernel.py) ----
         # All per-marker quantities are precomputed vectorized in shuffled
         # order; the kernel runs every window's stats -> draw -> residual
         # update in ONE launch with eps resident in VMEM. Same math as
         # window_body's stale branch (draw_rows), one XLA gather/scatter
         # per sweep instead of per window.
+        # use_wmega (multi-shard): the SAME fused kernels, launched once
+        # per WINDOW with the residual psum between launches — D > 1 pays
+        # one launch + one psum per window instead of the per-window
+        # path's 2-3 launches + XLA glue. Requires stale windows or
+        # exact with cross_sync >= window (no in-window collectives).
         from hydra_tpu.ops.sweep_kernel import (mrow_width, sd_sub_window,
                                                 sweep_exact, sweep_stale,
                                                 sweep_stale_sd)
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         km1 = cfg.k - 1
-        pk_shuf = jnp.take(packed, perm, axis=0)
         mave_s = jnp.take(mave, perm)
         mstd_s = jnp.take(mstd, perm)
         grp_s = jnp.take(groups, perm)
@@ -588,42 +667,85 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
              logl_static, inv_denomk, sd_k], axis=1)
         assert mrow.shape[1] == mrow_width(cfg.k)
 
-        # single-decode variant (decode each window's bytes ONCE through a
-        # VMEM plane scratch) — opt-in experiment only: hardware-measured
-        # 9% SLOWER than the two-phase kernel at M=100K x N=50K (the
-        # staging + shallow-k MXU axpy outweigh the saved decode; see
-        # sd_sub_window docstring for the numbers). Default returns 0.
-        wt_sd = 0 if cfg.exact else sd_sub_window(
-            cfg.window, packed.shape[1], cfg.complete)
-        if cfg.exact:
-            # exact-mode mega: stats + Gram + the sequential W-step
-            # recurrence + axpy fused per window, one launch per sweep —
-            # same chain as the per-window exact path (window_stats +
-            # window_gibbs + window_axpy), minus 3 launches and an eps HBM
-            # round trip per window
-            mcol = jnp.stack([mave_s, mstd_s], axis=1)
-            eps_new_d, out_m = sweep_exact(
-                pk_shuf, deinterleave(eps), mrow, mcol, i_2se, dNm1,
-                window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
-                ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
-                vma=vma_axes, interpret=cfg.interpret)
-        elif wt_sd:
-            eps_new_d, out_m = sweep_stale_sd(
-                pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
-                window=cfg.window, sub_window=wt_sd, n_mix=cfg.k,
-                complete=cfg.complete,
-                ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
-                vma=vma_axes, interpret=cfg.interpret)
+        mask4 = deinterleave(ind_mask) if cfg.complete else None
+        if cfg.use_wmega:
+            # ---- per-window fused launches, multi-shard ----
+            # one sweep_exact/sweep_stale launch per window (W-row grid),
+            # then ONE residual psum over the marker axes — the multi-chip
+            # analogue of the mega kernels (VERDICT r3 #1c). The packed
+            # bytes are gathered per window (no second full shuffled copy
+            # in HBM, unlike the whole-sweep mega's pk_shuf).
+            if cfg.exact:
+                mcol = jnp.stack([mave_s, mstd_s], axis=1)
+            Cw = mrow.shape[1]
+            out0 = jax.lax.pcast(
+                jnp.zeros((cfg.m_loc, 4), f32), ma, to="varying")
+
+            def wbody(w, carry):
+                eps_d, out_acc = carry
+                idx = jax.lax.dynamic_slice(perm, (w * W,), (W,))
+                pk_w = jnp.take(packed, idx, axis=0)
+                mrow_w = jax.lax.dynamic_slice(mrow, (w * W, 0), (W, Cw))
+                if cfg.exact:
+                    mcol_w = jax.lax.dynamic_slice(mcol, (w * W, 0), (W, 2))
+                    eps_new_d, out_w = sweep_exact(
+                        pk_w, eps_d, mrow_w, mcol_w, i_2se, dNm1,
+                        window=W, n_mix=cfg.k, complete=cfg.complete,
+                        ind_mask4=mask4, vma=vma_axes,
+                        interpret=cfg.interpret)
+                else:
+                    eps_new_d, out_w = sweep_stale(
+                        pk_w, eps_d, mrow_w, i_2se, dNm1,
+                        window=W, n_mix=cfg.k, complete=cfg.complete,
+                        ind_mask4=mask4, vma=vma_axes,
+                        interpret=cfg.interpret)
+                d_eps = hier_psum(eps_new_d - eps_d, cfg.n_dcn)
+                eps_d = eps_d + d_eps
+                out_acc = jax.lax.dynamic_update_slice(
+                    out_acc, out_w, (w * W, 0))
+                return eps_d, out_acc
+
+            eps_d, out_m = jax.lax.fori_loop(
+                0, cfg.n_windows, wbody, (deinterleave(eps), out0))
+            eps = interleave(eps_d)
         else:
-            eps_new_d, out_m = sweep_stale(
-                pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
-                window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
-                ind_mask4=deinterleave(ind_mask) if cfg.complete else None,
-                vma=vma_axes, interpret=cfg.interpret)
-        # numerically the identity (mega is gated to n_dev == 1) but marks
-        # the residual replicated again for shard_map's vma checker — the
-        # mega path's analogue of window_body's per-window hier_psum
-        eps = jax.lax.psum(interleave(eps_new_d), ma)
+            pk_shuf = jnp.take(packed, perm, axis=0)
+            # single-decode variant (decode each window's bytes ONCE through
+            # a VMEM plane scratch) — opt-in experiment only: hardware-
+            # measured 9% SLOWER than the two-phase kernel at M=100K x
+            # N=50K (the staging + shallow-k MXU axpy outweigh the saved
+            # decode; see sd_sub_window docstring). Default returns 0.
+            wt_sd = 0 if cfg.exact else sd_sub_window(
+                cfg.window, packed.shape[1], cfg.complete)
+            if cfg.exact:
+                # exact-mode mega: stats + Gram + the sequential W-step
+                # recurrence + axpy fused per window, one launch per sweep —
+                # same chain as the per-window exact path (window_stats +
+                # window_gibbs + window_axpy), minus 3 launches and an eps
+                # HBM round trip per window
+                mcol = jnp.stack([mave_s, mstd_s], axis=1)
+                eps_new_d, out_m = sweep_exact(
+                    pk_shuf, deinterleave(eps), mrow, mcol, i_2se, dNm1,
+                    window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                    ind_mask4=mask4,
+                    vma=vma_axes, interpret=cfg.interpret)
+            elif wt_sd:
+                eps_new_d, out_m = sweep_stale_sd(
+                    pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
+                    window=cfg.window, sub_window=wt_sd, n_mix=cfg.k,
+                    complete=cfg.complete,
+                    ind_mask4=mask4,
+                    vma=vma_axes, interpret=cfg.interpret)
+            else:
+                eps_new_d, out_m = sweep_stale(
+                    pk_shuf, deinterleave(eps), mrow, i_2se, dNm1,
+                    window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                    ind_mask4=mask4,
+                    vma=vma_axes, interpret=cfg.interpret)
+            # numerically the identity (mega is gated to n_dev == 1) but
+            # marks the residual replicated again for shard_map's vma
+            # checker — the mega path's analogue of the per-window hier_psum
+            eps = jax.lax.psum(interleave(eps_new_d), ma)
         bnew_s = out_m[:, 0]
         comp_s = out_m[:, 1].astype(jnp.int32)
         acum_s = out_m[:, 2]
@@ -754,7 +876,7 @@ class BayesRRm:
                  n_ind: int = 1, n_dcn: int = 1,
                  fh_params: Optional[dict] = None,
                  dtype: str = "float32", plane_cache: str = "auto",
-                 mega: str = "auto"):
+                 mega: str = "auto", cross_sync: int = 0):
         if dtype == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "--dtype float64 requires x64 mode "
@@ -771,6 +893,13 @@ class BayesRRm:
 
         K = dataset.mS.shape[1]
         fhp = fh_params or {}
+        # cross-shard exchange interval (exact mode, D > 1): 0/auto -> one
+        # exchange per window (the window-boundary residual psum; see
+        # BayesRRmConfig.cross_sync for the semantics ladder)
+        cs = min(cross_sync, window) if cross_sync > 0 else window
+        if exact and cs < window and window % cs:
+            raise ValueError(
+                f"--cross-sync {cs} must divide the window ({window})")
         if geno.n_pad % (4 * n_ind):
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
@@ -821,6 +950,14 @@ class BayesRRm:
                              and 2.2 * packed_bytes < 14.5e9))
         use_mega = (mega_ok and mega != "off" and not forced_planes
                     and (mega == "on" or mega_auto))
+        # Multi-shard per-window fused launches (VERDICT r3 #1c): the same
+        # sweep kernels, ONE launch + ONE residual psum per window — D > 1
+        # no longer re-pays the 2-3 launches + XLA glue the mega kernels
+        # killed on one chip. Needs no in-window collectives: stale
+        # windows, or exact with cross_sync >= window (the default).
+        use_wmega = (tpu_f32 and window >= 8 and n_dev > 1 and n_ind == 1
+                     and (not exact or cs >= window)
+                     and mega != "off" and not forced_planes)
         # Opt-in ONLY (never auto): hardware measurement (hw_battery 5a/5b,
         # 2026-08) showed the planes path 15x SLOWER than decode-on-the-fly
         # at M=10K x N=50K (70.4 vs 4.63 ms/sweep) and a TPU worker crash
@@ -842,6 +979,7 @@ class BayesRRm:
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
+            cross_sync=cs,
             # complete data (no missing genotypes among real individuals):
             # mask-plane work in the window kernels degenerates to sums
             complete=complete,
@@ -857,6 +995,7 @@ class BayesRRm:
             # the per-sweep shuffle gather outweighs it (crossover measured
             # at N ~ 20K, see STATUS.md).
             use_mega=use_mega,
+            use_wmega=use_wmega,
             use_planes=use_planes,
             v0L=fhp.get("v0L", 3.0), v0t=fhp.get("v0t", 3.0),
             v0c=fhp.get("v0c", 3.0), s02c=fhp.get("s02c", 1.0),

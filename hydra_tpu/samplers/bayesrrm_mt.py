@@ -74,10 +74,15 @@ class MtConfig:
     shuffle: bool = True
     use_pallas: bool = False   # fused multi-trait window kernels (TPU)
     use_mega: bool = False     # whole-sweep mt mega-kernel (single shard)
+    use_wmega: bool = False    # per-window fused mt kernels (multi-shard)
     interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes (fast kernels)
     exact: bool = False        # Gram-corrected exact sequential semantics
     full_pheno: bool = False   # no NaN phenotypes: trait-independent Gram
+    # cross-shard exchange interval B (see bayesrrm.BayesRRmConfig): other
+    # shards' delta-betas reach the in-window correction every B markers;
+    # B = window (default) -> no in-window collective at all
+    cross_sync: int = 0        # resolved in __init__; 0 = window
 
     @property
     def n_windows(self):
@@ -107,8 +112,12 @@ class MtStats(NamedTuple):
 
 
 def _mt_gram_blocks(cfg: MtConfig, A, B, pk, mave_w, mstd_w, trait_mask,
-                    psum_i, ma, dev):
+                    psum_i, ma, dev, local_only=False):
     """Cross-shard window Gram blocks for exact mode.
+
+    local_only=True (cross_sync >= window, the default): the local shard's
+    Gram alone — other shards' deltas ride the window-boundary residual
+    psum, so no ring/all_gather at all.
 
     Returns blocks[d, j, k] (trait-shared, full phenotypes) or
     blocks[d, t, j, k] (per-trait masked Grams, NaN phenotypes) =
@@ -167,7 +176,7 @@ def _mt_gram_blocks(cfg: MtConfig, A, B, pk, mave_w, mstd_w, trait_mask,
                                      preferred_element_type=f32,
                                      precision=_HI))
 
-    if cfg.n_dev == 1:
+    if cfg.n_dev == 1 or local_only:
         return blk(A, B, srow)[None]
     if cfg.n_dcn > 1:
         # hierarchical mesh: no linearized-axis ppermute — gather bytes
@@ -207,6 +216,9 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     T = cfg.n_traits
     km1 = cfg.k - 1
     W = cfg.window
+    # cross-shard exchange interval (see MtConfig.cross_sync)
+    B_cs = min(cfg.cross_sync, W) if cfg.cross_sync > 0 else W
+    local_exact = cfg.n_dev == 1 or B_cs >= W
     ma = marker_axes(cfg.n_dcn)
     dev = jax.lax.axis_index(ma)
 
@@ -343,31 +355,82 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             else:
                 A_g, B_g = A, B
             blocks = _mt_gram_blocks(cfg, A_g, B_g, pk, mave_w, mstd_w,
-                                     trait_mask, psum_i, ma, dev)
+                                     trait_mask, psum_i, ma, dev,
+                                     local_only=local_exact)
 
-            def marker_step(corr, j):
-                num_j = num0[j] + corr[j]                    # (T,)
+            def draw_one(j, num_j):
                 bnew, comp_j, acum_j = draw_rows(
                     num_j, inv_denomk[j], sd_k[j], logl_static[j],
                     u_w[j], nrm_w[j], act_w[j])
-                db = bold_w[j] - bnew                        # (T,)
-                if cfg.n_dev > 1:
-                    # one T-vector per shard rides ICI each step (the
-                    # per-marker Sum|dBeta| allreduce analogue)
-                    db_all = jax.lax.all_gather(db, ma)      # (n_dev, T)
-                else:
-                    db_all = db[None]
-                if blocks.ndim == 3:     # trait-shared (n_dev, W, W)
-                    corr = corr + jnp.einsum("dt,dw->wt", db_all,
-                                             blocks[:, :, j])
-                else:                    # per-trait (n_dev, T, W, W)
-                    corr = corr + jnp.einsum("dt,dtw->wt", db_all,
-                                             blocks[:, :, :, j])
-                return corr, (bnew, comp_j, acum_j)
+                return bnew, comp_j, acum_j, bold_w[j] - bnew
 
             corr0 = jax.lax.pcast(jnp.zeros((W, T), f32), ma, to="varying")
-            _, (bnew_w, comp, acum0) = jax.lax.scan(
-                marker_step, corr0, jnp.arange(W))
+            if cfg.n_dev > 1 and not local_exact and B_cs > 1:
+                # batched cross-shard exchange (see bayesrrm): own-shard
+                # corrections applied per step, other shards' every B_cs
+                # steps via one (B_cs, T) all_gather
+                own = jnp.take(blocks, dev, axis=0)  # (W,W) or (T,W,W)
+
+                def inner_step(carry, jj):
+                    corr, b = carry
+                    j = b * B_cs + jj
+                    bnew, comp_j, acum_j, db = draw_one(j, num0[j] + corr[j])
+                    if own.ndim == 2:
+                        corr = corr + own[:, j][:, None] * db[None, :]
+                    else:
+                        corr = corr + own[:, :, j].T * db[None, :]
+                    return (corr, b), (bnew, comp_j, acum_j, db)
+
+                def batch_body(corr, b):
+                    (corr, _), outs = jax.lax.scan(
+                        inner_step, (corr, b), jnp.arange(B_cs))
+                    db_b = outs[3]                           # (B_cs, T)
+                    db_all = jax.lax.all_gather(db_b, ma)    # (D, B_cs, T)
+                    if own.ndim == 2:
+                        cols = jax.lax.dynamic_slice(
+                            blocks, (0, 0, b * B_cs),
+                            (cfg.n_dev, W, B_cs))
+                        cross = jnp.einsum("dst,dws->wt", db_all, cols,
+                                           precision=_HI)
+                        own_c = jax.lax.dynamic_slice(
+                            own, (0, b * B_cs), (W, B_cs))
+                        cross = cross - jnp.einsum(
+                            "st,ws->wt", db_b, own_c, precision=_HI)
+                    else:
+                        cols = jax.lax.dynamic_slice(
+                            blocks, (0, 0, 0, b * B_cs),
+                            (cfg.n_dev, T, W, B_cs))
+                        cross = jnp.einsum("dst,dtws->wt", db_all, cols,
+                                           precision=_HI)
+                        own_c = jax.lax.dynamic_slice(
+                            own, (0, 0, b * B_cs), (T, W, B_cs))
+                        cross = cross - jnp.einsum(
+                            "st,tws->wt", db_b, own_c, precision=_HI)
+                    return corr + cross, outs
+
+                _, outs = jax.lax.scan(
+                    batch_body, corr0, jnp.arange(W // B_cs))
+                bnew_w, comp, acum0 = (
+                    o.reshape((W,) + o.shape[2:]) for o in outs[:3])
+            else:
+                def marker_step(corr, j):
+                    bnew, comp_j, acum_j, db = draw_one(j, num0[j] + corr[j])
+                    if cfg.n_dev > 1 and not local_exact:
+                        # one T-vector per shard rides ICI each step (the
+                        # per-marker Sum|dBeta| allreduce analogue)
+                        db_all = jax.lax.all_gather(db, ma)  # (n_dev, T)
+                    else:
+                        db_all = db[None]
+                    if blocks.ndim == 3:     # trait-shared (D, W, W)
+                        corr = corr + jnp.einsum("dt,dw->wt", db_all,
+                                                 blocks[:, :, j])
+                    else:                    # per-trait (D, T, W, W)
+                        corr = corr + jnp.einsum("dt,dtw->wt", db_all,
+                                                 blocks[:, :, :, j])
+                    return corr, (bnew, comp_j, acum_j)
+
+                _, (bnew_w, comp, acum0) = jax.lax.scan(
+                    marker_step, corr0, jnp.arange(W))
         else:
             bnew_w, comp, acum0 = draw_rows(
                 num0, inv_denomk, sd_k, logl_static, u_w, nrm_w, act_w)
@@ -563,7 +626,7 @@ class BayesRRmMT:
                  window: int = 1, exact: bool = True, shuffle: bool = True,
                  seed: int = 0, mesh: Optional[Mesh] = None,
                  n_devices: int = 0, n_ind: int = 1, n_dcn: int = 1,
-                 mega: str = "auto"):
+                 mega: str = "auto", cross_sync: int = 0):
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, n_ind=n_ind, n_dcn=n_dcn)
@@ -587,6 +650,11 @@ class BayesRRmMT:
         # exact with W = 1 is the plain sequential schedule; skip the
         # (identity) Gram machinery there
         exact_b = exact and window > 1
+        cs = min(cross_sync, window) if cross_sync > 0 else window
+        if exact_b and cs < window and window % cs:
+            raise ValueError(
+                f"--cross-sync {cs} must divide the window ({window})")
+        tpu_b = jax.default_backend() == "tpu"
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
@@ -599,14 +667,24 @@ class BayesRRmMT:
             # mega="on"/"off" overrides the auto N-gate like BayesRRm's.
             # Exact mode has its own mega (sweep_exact_mt), valid only on
             # complete genotypes + full phenotypes (trait-shared Gram)
-            use_mega=(jax.default_backend() == "tpu" and window >= 8
+            use_mega=(tpu_b and window >= 8
                       and (not exact_b or (complete_b and full_ph))
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1
                       and mega != "off"
                       and (mega == "on" or T * geno.n_pad <= 262144)),
+            # multi-shard: the same mt sweep kernels, ONE launch + ONE
+            # residual psum per window (see bayesrrm use_wmega). Needs no
+            # in-window collectives (stale, or exact with cs >= window).
+            use_wmega=(tpu_b and window >= 8
+                       and (not exact_b or (complete_b and full_ph))
+                       and (not exact_b or cs >= window)
+                       and n_dev > 1 and n_ind == 1
+                       and mega != "off"
+                       and (mega == "on" or T * geno.n_pad <= 262144)),
             complete=complete_b,
             exact=exact_b,
-            full_pheno=full_ph)
+            full_pheno=full_ph,
+            cross_sync=cs)
         cfg = self.cfg
 
         # masks + per-trait centered/scaled phenotypes

@@ -158,12 +158,16 @@ def test_exact_mode_is_exact_across_shards():
     residual syncs, BayesRRm.cpp:2044-2060). Exact mode with window W>1 must
     reproduce that schedule through the cross-shard Gram blocks: the window
     is a batching choice, not a semantics choice. Shard-local-only Gram
-    correction (round-1 behavior) fails this test."""
+    correction (round-1 behavior) fails this test.
+
+    cross_sync=1 selects strict per-step semantics (the round-4 default is
+    cross_sync=window: one cross-shard exchange per window, BIAS_SWEEP-
+    quantified — see test_cross_sync_semantics)."""
     ds, _, _ = simulate(m=160, n=300, h2=0.5, seed=9)
     s_w1 = BayesRRm(ds, window=1, exact=True, seed=13, mesh=make_mesh(8),
-                    shuffle=True)
+                    shuffle=True, cross_sync=1)
     s_w4 = BayesRRm(ds, window=4, exact=True, seed=13, mesh=make_mesh(8),
-                    shuffle=True)
+                    shuffle=True, cross_sync=1)
     st1, st4 = s_w1.init_state(), s_w4.init_state()
     for it in range(4):
         st1, _ = s_w1.step(st1, it)
@@ -184,10 +188,10 @@ def test_exact_across_shards_with_missing_data():
     ds, _, _ = simulate(m=96, n=300, h2=0.5, seed=11, missing_frac=0.05)
     assert int(np.asarray(ds.geno.nm).sum()) > 0
     s_w1 = BayesRRm(ds, window=1, exact=True, seed=13, mesh=make_mesh(4),
-                    shuffle=True)
+                    shuffle=True, cross_sync=1)
     assert not s_w1.cfg.complete
     s_w4 = BayesRRm(ds, window=4, exact=True, seed=13, mesh=make_mesh(4),
-                    shuffle=True)
+                    shuffle=True, cross_sync=1)
     st1, st4 = s_w1.init_state(), s_w4.init_state()
     for it in range(3):
         st1, _ = s_w1.step(st1, it)
@@ -196,6 +200,58 @@ def test_exact_across_shards_with_missing_data():
             s_w1.beta_global(st1), s_w4.beta_global(st4), atol=2e-4,
             err_msg=f"iteration {it}")
     np.testing.assert_allclose(np.asarray(st1.eps), np.asarray(st4.eps),
+                               atol=2e-4)
+
+
+def test_cross_sync_semantics():
+    """Pin the batched cross-shard exchange (round-4 exact default).
+
+    Exact-mode semantics depend only on the effective exchange interval
+    B = min(cross_sync, window), not on the window width: with
+    (window=W, cross_sync=B) marker j sees ALL own-shard deltas t<j (the
+    in-window recurrence is sequential) and other shards' deltas up to the
+    last exchange t < B*floor(j/B) — exactly what (window=B) produces via
+    its window-boundary residual psum. The two configurations must
+    therefore yield the same chain. This is the multi-shard generalization
+    of the W=1==W=N invariance (which is the cross_sync=1 special case).
+    Ref: the reference's own relaxation knob is --sync-rate
+    (BayesRRm.cpp:2044-2060), which freezes eps even on-rank — ours is
+    strictly fresher at equal B."""
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=9)
+    for b in (2, 8):
+        s_b = BayesRRm(ds, window=8, exact=True, seed=13, mesh=make_mesh(4),
+                       shuffle=True, cross_sync=b)
+        s_ref = BayesRRm(ds, window=b, exact=True, seed=13, mesh=make_mesh(4),
+                         shuffle=True)
+        assert s_b.cfg.cross_sync == b and s_ref.cfg.cross_sync == b
+        st_b, st_r = s_b.init_state(), s_ref.init_state()
+        for it in range(3):
+            st_b, _ = s_b.step(st_b, it)
+            st_r, _ = s_ref.step(st_r, it)
+            np.testing.assert_allclose(
+                s_b.beta_global(st_b), s_ref.beta_global(st_r), atol=2e-4,
+                err_msg=f"B={b} iteration {it}")
+        np.testing.assert_array_equal(np.asarray(st_b.components),
+                                      np.asarray(st_r.components))
+        np.testing.assert_allclose(np.asarray(st_b.eps),
+                                   np.asarray(st_r.eps), atol=2e-4)
+
+
+def test_cross_sync_semantics_missing_data():
+    """Same invariance through the general (plane-shipping) Gram ring."""
+    ds, _, _ = simulate(m=64, n=300, h2=0.5, seed=11, missing_frac=0.05)
+    s_b = BayesRRm(ds, window=8, exact=True, seed=13, mesh=make_mesh(2),
+                   shuffle=True, cross_sync=4)
+    assert not s_b.cfg.complete
+    s_ref = BayesRRm(ds, window=4, exact=True, seed=13, mesh=make_mesh(2),
+                     shuffle=True)
+    st_b, st_r = s_b.init_state(), s_ref.init_state()
+    for it in range(3):
+        st_b, _ = s_b.step(st_b, it)
+        st_r, _ = s_ref.step(st_r, it)
+    np.testing.assert_allclose(s_b.beta_global(st_b), s_ref.beta_global(st_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_b.eps), np.asarray(st_r.eps),
                                atol=2e-4)
 
 

@@ -97,13 +97,16 @@ def test_mt_exact_is_window_invariant(na_frac, n_dev):
     W=1 is literally one marker per shard between residual syncs; exact
     W>1 must reproduce it through the per-trait Gram correction (the mt
     analogue of test_exact_mode_is_exact_across_shards). na_frac>0 takes
-    the per-trait masked-Gram path; n_dev>1 the packed-byte block ring."""
+    the per-trait masked-Gram path; n_dev>1 the packed-byte block ring.
+    cross_sync=1 pins the strict per-step semantics on multi-shard meshes
+    (the round-4 default is cross_sync=window; its semantics are pinned by
+    test_mt_cross_sync_semantics instead)."""
     ds, phenos, _ = simulate_mt(m=96, n=320, n_traits=2, seed=3,
                                 na_frac=na_frac)
     s1 = BayesRRmMT(ds, phenos, window=1, seed=13, mesh=make_mesh(n_dev),
-                    shuffle=True)
+                    shuffle=True, cross_sync=1)
     s4 = BayesRRmMT(ds, phenos, window=4, seed=13, mesh=make_mesh(n_dev),
-                    shuffle=True)
+                    shuffle=True, cross_sync=1)
     assert s4.cfg.exact and s4.cfg.full_pheno == (na_frac == 0.0)
     st1, st4 = s1.init_state(), s4.init_state()
     for it in range(3):
@@ -116,6 +119,34 @@ def test_mt_exact_is_window_invariant(na_frac, n_dev):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(st1.sigma_e),
                                np.asarray(st4.sigma_e), rtol=2e-3)
+
+
+@pytest.mark.parametrize("na_frac", [0.0, 0.1])
+def test_mt_cross_sync_semantics(na_frac):
+    """Pin the batched cross-shard exchange for mt (round-4 exact default).
+
+    (window=W, cross_sync=B) must equal (window=B): marker j sees all
+    own-shard deltas t<j plus other shards' deltas up to the last exchange
+    — exactly what the window-boundary residual psum of a width-B window
+    produces. Covers both the trait-shared Gram (full phenotypes) and the
+    per-trait masked Gram (na_frac>0)."""
+    ds, phenos, _ = simulate_mt(m=64, n=320, n_traits=2, seed=3,
+                                na_frac=na_frac)
+    s_b = BayesRRmMT(ds, phenos, window=8, seed=13, mesh=make_mesh(2),
+                     shuffle=True, cross_sync=4)
+    s_ref = BayesRRmMT(ds, phenos, window=4, seed=13, mesh=make_mesh(2),
+                       shuffle=True)
+    assert s_b.cfg.exact and s_b.cfg.cross_sync == 4
+    assert s_b.cfg.full_pheno == (na_frac == 0.0)
+    st_b, st_r = s_b.init_state(), s_ref.init_state()
+    for it in range(3):
+        st_b, _ = s_b.step(st_b, it)
+        st_r, _ = s_ref.step(st_r, it)
+        np.testing.assert_allclose(
+            s_b.beta_global(st_b), s_ref.beta_global(st_r), atol=2e-4,
+            err_msg=f"na_frac={na_frac} iteration {it}")
+    np.testing.assert_allclose(np.asarray(st_b.eps), np.asarray(st_r.eps),
+                               atol=2e-4)
 
 
 def test_mt_exact_missing_genotypes_window_invariant():
@@ -136,8 +167,10 @@ def test_mt_exact_missing_genotypes_window_invariant():
     assert int(np.asarray(gd.nm).sum()) > 0
     import dataclasses
     ds = dataclasses.replace(ds, geno=gd)
-    s1 = BayesRRmMT(ds, phenos, window=1, seed=5, mesh=make_mesh(2))
-    s4 = BayesRRmMT(ds, phenos, window=4, seed=5, mesh=make_mesh(2))
+    s1 = BayesRRmMT(ds, phenos, window=1, seed=5, mesh=make_mesh(2),
+                    cross_sync=1)
+    s4 = BayesRRmMT(ds, phenos, window=4, seed=5, mesh=make_mesh(2),
+                    cross_sync=1)
     assert s4.cfg.exact and not s4.cfg.complete
     st1, st4 = s1.init_state(), s4.init_state()
     for it in range(3):

@@ -227,3 +227,52 @@ def test_exact_mega_matches_window_path_fh():
     np.testing.assert_allclose(np.asarray(sr.lambda_var),
                                np.asarray(sm.lambda_var),
                                rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-shard per-window fused launches (use_wmega): the same sweep kernels,
+# one launch + one residual psum per window (VERDICT r3 #1c). Must continue
+# the XLA multi-shard chain exactly (stale windows; exact cross_sync=W).
+# ---------------------------------------------------------------------------
+
+def _wmega_sampler(ds, window, seed, n_dev, exact, **kw):
+    s = BayesRRm(ds, window=window, exact=exact, seed=seed,
+                 mesh=make_mesh(n_dev), **kw)
+    s.cfg = dataclasses.replace(s.cfg, use_wmega=True, interpret=True)
+    s._step = s._build_step()
+    s._multi = {}
+    return s
+
+
+def _compare_wmega(ds, window, n_dev, exact, seed=7, iters=3, **kw):
+    ref = BayesRRm(ds, window=window, exact=exact, seed=seed,
+                   mesh=make_mesh(n_dev), **kw)
+    wm = _wmega_sampler(ds, window, seed, n_dev, exact, **kw)
+    assert not ref.cfg.use_wmega and not ref.cfg.use_mega
+    assert wm.cfg.n_dev == n_dev
+    sr = ref.init_state()
+    sm = wm.init_state()
+    for it in range(iters):
+        sr, str_ = ref.step(sr, it)
+        sm, stm = wm.step(sm, it)
+        np.testing.assert_allclose(np.asarray(str_.cass),
+                                   np.asarray(stm.cass))
+    _states_close(sr, sm)
+    return sr, sm
+
+
+def test_wmega_stale_matches_window_path():
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=35)
+    _compare_wmega(ds, window=16, n_dev=4, exact=False)
+
+
+def test_wmega_exact_matches_window_path():
+    """Exact default on D>1 (cross_sync=W): per-window sweep_exact launch +
+    psum must equal the XLA local-Gram scan path."""
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=37)
+    _compare_wmega(ds, window=16, n_dev=4, exact=True)
+
+
+def test_wmega_exact_padded_markers():
+    ds, _, _ = simulate(m=100, n=256, h2=0.5, seed=39)  # pads on each shard
+    _compare_wmega(ds, window=8, n_dev=4, exact=True, iters=4)
