@@ -98,30 +98,60 @@ def make_problem(m, n, seed=1, block=4096):
     return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
 
 
+# Bump when make_problem's generation math changes (scheme 2 = blockwise
+# f32 phenotype accumulation, 2026-08-19 — NOT bit-identical to the earlier
+# f64 generation for the same seed). A cache from another scheme/seed is a
+# subtly different problem; reject it instead of silently benchmarking it.
+GEN_SCHEME = 2
+GEN_SEED = 1  # make_problem's default seed
+
+
 def load_or_make_problem(m, n, cache_path=""):
     """make_problem with an optional on-disk cache: at-scale generation is
     host-bound (~13 min at M=500K x N=50K or M=20K x N=458K), so repeated
     hardware measurements of the same config reload the packed bytes +
-    phenotype instead (marker stats are recomputed from the packed bytes)."""
+    phenotype instead (marker stats are recomputed from the packed bytes).
+    The cache records the generation seed + scheme version and is rejected
+    on mismatch; a corrupt/partial file is treated as a cache miss."""
     from hydra_tpu.data.genotypes import Dataset, GenotypeData, make_default_groups
 
     if cache_path and os.path.exists(cache_path):
         t0 = time.time()
-        z = np.load(cache_path)
-        packed, y, n_cached = z["packed"], z["y"], int(z["n"])
-        if packed.shape[0] != m or n_cached != n:
-            raise SystemExit(f"--problem-cache {cache_path} holds "
-                             f"M={packed.shape[0]} N={n_cached}, not the "
-                             f"requested M={m} N={n}")
-        gd = GenotypeData.from_packed(packed, n, np.array([], dtype=np.int64))
-        groups, mS = make_default_groups(m, [0.0001, 0.001, 0.01])
-        print(f"# gen: loaded problem cache in {time.time() - t0:.1f} s",
-              file=sys.stderr, flush=True)
-        return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
+        try:
+            with np.load(cache_path) as z:
+                packed, y, n_cached = z["packed"], z["y"], int(z["n"])
+                seed = int(z["seed"]) if "seed" in z else -1
+                scheme = int(z["scheme"]) if "scheme" in z else -1
+        except Exception as e:  # partial/corrupt write: regenerate
+            print(f"# gen: problem cache unreadable ({e}); regenerating",
+                  file=sys.stderr, flush=True)
+            packed = None
+        if packed is not None:
+            if packed.shape[0] != m or n_cached != n:
+                raise SystemExit(f"--problem-cache {cache_path} holds "
+                                 f"M={packed.shape[0]} N={n_cached}, not the "
+                                 f"requested M={m} N={n}")
+            if (seed, scheme) != (GEN_SEED, GEN_SCHEME):
+                raise SystemExit(
+                    f"--problem-cache {cache_path} was generated with "
+                    f"seed={seed} scheme={scheme}; current generator is "
+                    f"seed={GEN_SEED} scheme={GEN_SCHEME} — a different "
+                    f"problem. Delete the cache to regenerate.")
+            gd = GenotypeData.from_packed(packed, n,
+                                          np.array([], dtype=np.int64))
+            groups, mS = make_default_groups(m, [0.0001, 0.001, 0.01])
+            print(f"# gen: loaded problem cache in {time.time() - t0:.1f} s",
+                  file=sys.stderr, flush=True)
+            return Dataset(geno=gd, y=y, groups=groups, num_groups=1, mS=mS)
     ds = make_problem(m, n)
     if cache_path:
         t0 = time.time()
-        np.savez(cache_path, packed=ds.geno.packed, y=np.asarray(ds.y), n=n)
+        # write-then-rename so a disk-full mid-savez never leaves a partial
+        # file that poisons every later run
+        tmp = cache_path + ".tmp.npz"  # np.savez appends .npz otherwise
+        np.savez(tmp, packed=ds.geno.packed, y=np.asarray(ds.y), n=n,
+                 seed=GEN_SEED, scheme=GEN_SCHEME)
+        os.replace(tmp, cache_path)
         print(f"# gen: saved problem cache in {time.time() - t0:.1f} s",
               file=sys.stderr, flush=True)
     return ds
@@ -374,8 +404,35 @@ def main():
     if sampler.cfg.use_mega:
         print("# whole-sweep mega-kernel: ON", file=sys.stderr, flush=True)
     state = sampler.init_state()
-    print(f"# setup: layout+device_put in {time.time() - t0:.1f} s",
-          file=sys.stderr, flush=True)
+    setup_s = time.time() - t0
+    st = dict(getattr(sampler, "setup_timings", {}))
+    print(f"# setup: layout+device_put in {setup_s:.1f} s "
+          f"(layout {st.get('layout_s', 0):.1f} + h-pack "
+          f"{st.get('hpack_s', 0):.1f} + device_put "
+          f"{st.get('device_put_s', 0):.1f})", file=sys.stderr, flush=True)
+    # Tunnel-stall detection (VERDICT r3: a 336.8 s setup at M=10K sat
+    # undiagnosed in BENCH_r03). Expected transfer: packed bytes at a
+    # conservative 0.1 GB/s tunnel floor + 15 s slack. On breach, retry
+    # the same-size transfer once — a transient stall clears, a real
+    # host-side scaling problem doesn't — and annotate the JSON.
+    setup_note = None
+    put_s = st.get("device_put_s", 0.0)
+    pk_bytes = int(np.asarray(ds.geno.packed).nbytes)
+    expected_s = pk_bytes / 0.1e9 + 15.0
+    if put_s > expected_s:
+        t0 = time.time()
+        probe = jax.device_put(np.asarray(ds.geno.packed))
+        jax.block_until_ready(probe)
+        retry_s = time.time() - t0
+        del probe
+        verdict = ("transient tunnel stall"
+                   if retry_s < expected_s else "persistent slow transfer")
+        setup_note = {"device_put_s": round(put_s, 1),
+                      "retry_put_s": round(retry_s, 1),
+                      "verdict": verdict}
+        print(f"# setup: STALL suspected ({put_s:.1f} s for "
+              f"{pk_bytes / 1e6:.0f} MB); retry took {retry_s:.1f} s -> "
+              f"{verdict}", file=sys.stderr, flush=True)
     # warmup/compile
     t0 = time.time()
     state, _ = sampler.step(state, 0)
@@ -430,13 +487,16 @@ def main():
         print(json.dumps({"per_sweep_s": per_sweep}))
         return
     vs = (baseline_s / per_sweep) if baseline_s else 1.0
-    print(json.dumps({
+    out = {
         "metric": f"BayesRRm marker updates/s/chip (M={args.m}, N={args.n}, "
                   f"window={args.window}, {'exact' if args.exact else 'stale'})",
         "value": round(markers_per_s, 1),
         "unit": "markers/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if setup_note:
+        out["setup_stall"] = setup_note
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

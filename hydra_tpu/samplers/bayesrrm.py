@@ -42,6 +42,7 @@ Documented numerical deviations from the reference:
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
@@ -1004,6 +1005,12 @@ class BayesRRm:
         cfg = self.cfg
 
         # ---- global padded marker layout: slot = dev*m_loc + local ----
+        # Setup phases are timed separately (self.setup_timings) so a slow
+        # setup can be attributed: host layout copy vs h-pack LUT pass vs
+        # the device_put HBM transfer (the latter rides the shared tunnel
+        # on this host and can stall for minutes — bench.py detects and
+        # annotates that instead of folding it into one opaque number).
+        _t0 = time.perf_counter()
         m_glob = cfg.m_glob
         nb = geno.packed.shape[1]
         packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
@@ -1042,7 +1049,15 @@ class BayesRRm:
         # shift+and+cast (ops/decode.py). Host-side consumers (planes
         # build, sparse io, stats) keep the PLINK coding.
         from hydra_tpu.ops.decode import hpack_bytes
-        self.packed = put(hpack_bytes(packed_g), shard_m2)
+        _t1 = time.perf_counter()
+        packed_h = hpack_bytes(packed_g)
+        _t2 = time.perf_counter()
+        self.packed = put(packed_h, shard_m2)
+        jax.block_until_ready(self.packed)
+        _t3 = time.perf_counter()
+        self.setup_timings = {"layout_s": _t1 - _t0, "hpack_s": _t2 - _t1,
+                              "device_put_s": _t3 - _t2}
+        del packed_h
         shard_pl = NamedSharding(self.mesh, P(max_, None))
         if cfg.use_planes:
             from hydra_tpu.ops.planes import build_planes_host

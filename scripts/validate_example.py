@@ -46,6 +46,28 @@ def csv_post_burn(path, burn):
     return rows
 
 
+def h2_gate(h2_chain, truth, label, floor=0.02, min_ess=100.0):
+    """Posterior-sd-scaled PASS gate with an ESS requirement.
+
+    The reference's plot_example.R eyeballs the posterior histogram against
+    the simulated truth; the text form here requires (a) the posterior mean
+    within max(3 posterior sd, floor) of truth and (b) split-R-hat ESS of
+    the h2 chain >= min_ess so the sd estimate is actually meaningful
+    (VERDICT r3: 600-iteration chains with a fixed 0.1 gate were too loose)."""
+    from hydra_tpu.postproc import _split_rhat_ess
+
+    h2_chain = np.asarray(h2_chain, dtype=np.float64)
+    mean, sd = h2_chain.mean(), h2_chain.std()
+    rhat, ess = _split_rhat_ess(h2_chain[None, :])
+    tol = max(3.0 * sd, floor)
+    ok = abs(mean - truth) < tol and ess >= min_ess
+    print(f"{label}: h2 = {mean:.4f} +- {sd:.4f} vs truth {truth:.4f} "
+          f"(|d| = {abs(mean - truth):.4f}, gate {tol:.4f}), "
+          f"ESS = {ess:.0f} (>= {min_ess:.0f}), rhat = {rhat:.3f}"
+          f" -> {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
 def validate_normal(args, bed, fh_mode=False):
     from hydra_tpu.options import parse_args as popt
     from hydra_tpu.runner import run_bayesrrm
@@ -74,12 +96,12 @@ def validate_normal(args, bed, fh_mode=False):
     sg = arr[:, :-1].mean(axis=0)
     se = arr[:, -1].mean()
     truth = read_truth(os.path.join(args.dir, "normal.h2"))
-    h2_est = sg.sum() / (sg.sum() + se)
     print(f"\nper-annotation variance: sigmaG = {sg}, sigmaE = {se:.4f}")
-    print(f"h2 estimate = {h2_est:.4f} vs truth {truth['h2_est']:.4f}")
     print(f"a1 = {sg[0] / (sg.sum() + se):.4f} vs truth {truth['a1']:.4f}")
     print(f"a2 = {sg[1] / (sg.sum() + se):.4f} vs truth {truth['a2']:.4f}")
-    return abs(h2_est - truth["h2_est"]) < 0.1
+    sg_t = arr[:, :-1].sum(axis=1)
+    h2_chain = sg_t / (sg_t + arr[:, -1])
+    return h2_gate(h2_chain, truth["h2_est"], "fh" if fh_mode else "normal")
 
 
 def validate_bayesw(args, bed):
@@ -101,15 +123,13 @@ def validate_bayesw(args, bed):
 
     rows = csv_post_burn(os.path.join(out, "exw.csv"), args.burn)
     mu = np.mean([float(t[1]) for t in rows])
-    sg = np.mean([float(t[2]) for t in rows])
     alpha = np.mean([float(t[3]) for t in rows])
-    h2w = np.mean([float(t[4]) for t in rows])
+    h2w_chain = np.array([float(t[4]) for t in rows])
     truth = read_truth(os.path.join(args.dir, "Weibull.h2"))
     print(f"\nposterior: mu = {mu:.4f} vs {truth['mu']:.4f}, "
-          f"alpha = {alpha:.3f} vs {truth['alpha']:.3f}, "
-          f"h2_w = {h2w:.4f} vs {truth['h2']:.4f}")
-    return (abs(alpha - truth["alpha"]) / truth["alpha"] < 0.2
-            and abs(h2w - truth["h2"]) < 0.15
+          f"alpha = {alpha:.3f} vs {truth['alpha']:.3f}")
+    return (h2_gate(h2w_chain, truth["h2"], "bayesw h2_w", floor=0.05)
+            and abs(alpha - truth["alpha"]) / truth["alpha"] < 0.2
             and abs(mu - truth["mu"]) < 0.1)
 
 
@@ -139,12 +159,10 @@ def validate_mt(args, bed):
             g = int(tok[1])
             arr.append([float(v) for v in tok[2:2 + g]] + [float(tok[2 + g])])
         arr = np.asarray(arr)
-        sg = arr[:, :-1].sum(axis=1).mean()
-        se = arr[:, -1].mean()
         truth = read_truth(os.path.join(args.dir, h2file))
-        h2_est = sg / (sg + se)
-        print(f"trait {t}: h2 = {h2_est:.4f} vs truth {truth['h2_est']:.4f}")
-        ok = ok and abs(h2_est - truth["h2_est"]) < 0.12
+        sg_t = arr[:, :-1].sum(axis=1)
+        h2_chain = sg_t / (sg_t + arr[:, -1])
+        ok = h2_gate(h2_chain, truth["h2_est"], f"mt trait {t}") and ok
     return ok
 
 
