@@ -62,6 +62,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bed_generate.argtypes = [u8p, i64, i64, u8p, u8p, u8p, i64]
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
         lib.bed_expand_planes.argtypes = [u8p, i64, i64, i8p]
+        lib.bed_hpack.argtypes = [u8p, i64, u8p]
         _lib = lib
         return _lib
 
@@ -81,6 +82,19 @@ def bed_counts(packed: np.ndarray, n: int
     nm = np.empty(m, np.int64)
     lib.bed_counts(np.ascontiguousarray(packed), m, nbytes, n, n1, n2, nm)
     return n1, n2, nm
+
+
+def bed_hpack(packed: np.ndarray) -> Optional[np.ndarray]:
+    """PLINK-coded bytes -> h-packed device bytes (OpenMP LUT pass).
+    None if the native library is unavailable (NumPy fallback in
+    ops/decode.hpack_bytes)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pk = np.ascontiguousarray(packed)
+    out = np.empty_like(pk)
+    lib.bed_hpack(pk.reshape(-1), pk.size, out.reshape(-1))
+    return out
 
 
 def bed_decode(packed: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:

@@ -67,8 +67,20 @@ UNHPACK_LUT[HPACK_LUT] = np.arange(256, dtype=np.uint8)
 
 
 def hpack_bytes(packed: np.ndarray) -> np.ndarray:
-    """PLINK-coded packed bytes -> h-packed device bytes (host-side LUT)."""
-    return HPACK_LUT[packed]
+    """PLINK-coded packed bytes -> h-packed device bytes (host-side LUT).
+
+    Native OpenMP pass when available (the NumPy fancy-index runs at
+    ~0.25 GB/s — minutes of setup at M=500K, days at UKB scale)."""
+    from hydra_tpu import native
+
+    out = native.bed_hpack(packed)
+    if out is not None:
+        return out
+    # vectorized bitwise form of the crumb map 0->0,1->3,2->1,3->2:
+    # out = (L << 1) | (L ^ H) with L/H the crumb low/high bit planes
+    lo = packed & np.uint8(0x55)
+    hi = (packed >> np.uint8(1)) & np.uint8(0x55)
+    return ((lo << np.uint8(1)) | (lo ^ hi)).astype(np.uint8)
 
 
 def unhpack_bytes(packed: np.ndarray) -> np.ndarray:
