@@ -22,6 +22,36 @@ from hydra_tpu.samplers.bayesrrm import BayesRRm
 from hydra_tpu.utils import telemetry
 
 
+def _iter_blocks(start_it: int, chain_length: int, thin: int, save: int,
+                 verbose: bool):
+    """Yield (it, k): run k fused sweeps landing exactly ON iteration it.
+
+    On tunneled/remote backends every device dispatch costs ~25 ms, so
+    per-iteration step() calls dominate production chains (2,000 sweeps =
+    ~50 s of pure dispatch at M=100K). Host access is only needed at
+    thin/save boundaries and the RESULT telemetry line (every 10th
+    iteration when verbose); everything between is fused into ONE
+    lax.scan dispatch (sampler.run_steps — identical chain, tests pin it).
+    """
+    def is_event(i):
+        return (i % thin == 0 or (i > 0 and i % save == 0)
+                or (verbose and i % 10 == 0) or i == chain_length - 1)
+
+    it = start_it
+    while it < chain_length:
+        e = it
+        while not is_event(e):
+            e += 1
+        yield e, e - it + 1
+        it = e + 1
+
+
+def _last_stats(stats):
+    """Last step's IterStats from a run_steps stacked result."""
+    import jax
+    return jax.tree.map(lambda x: x[-1], stats)
+
+
 def dataset_from_options(opt: Options) -> Dataset:
     """Input dispatch mirroring main.cpp:60-157."""
     n, m = opt.number_individuals, opt.number_markers
@@ -171,8 +201,13 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     ]
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
     stats = None
-    for it in range(start_it, opt.chain_length):
-        state, stats = sampler.step(state, it)
+    for it, k in _iter_blocks(start_it, opt.chain_length, opt.thin,
+                              opt.save, verbose):
+        if k == 1:
+            state, stats = sampler.step(state, it)
+        else:
+            state, stats = sampler.run_steps(state, it - k + 1, k)
+            stats = _last_stats(stats)
         if it % opt.thin == 0:
             beta_g = sampler.beta_global(state)
             acum_g = sampler.acum_global(state)
@@ -302,9 +337,15 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
 
     tot_proc = 0.0
     stats = None
-    for it in range(start_it, opt.chain_length):
+    for it, k in _iter_blocks(start_it, opt.chain_length, opt.thin,
+                              opt.save, verbose):
         t0 = time.time()
-        state, stats = sampler.step(state, it)
+        if k == 1:
+            state, stats = sampler.step(state, it)
+        else:
+            # fused dispatch: iterations it-k+1 .. it in one lax.scan
+            state, stats = sampler.run_steps(state, it - k + 1, k)
+            stats = _last_stats(stats)
         if it % opt.thin == 0:
             sg = np.asarray(state.sigma_g, dtype=np.float64)
             se = float(state.sigma_e)
@@ -341,7 +382,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
             sg = float(np.asarray(state.sigma_g).sum())
             se = float(state.sigma_e)
             print(telemetry.result_line(
-                it, dt, prof, sg, se,
+                it, dt / k, prof, sg, se,
                 float(np.asarray(stats.beta_sqn).sum()),
                 int(np.asarray(stats.m0).sum())), flush=True)
             print(telemetry.cass_table(

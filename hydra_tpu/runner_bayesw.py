@@ -11,6 +11,7 @@ from hydra_tpu.data.genotypes import Dataset
 from hydra_tpu.options import Options
 from hydra_tpu.outputs.restart import read_restart
 from hydra_tpu.outputs.writers import McmcWriter
+from hydra_tpu.runner import _iter_blocks, _last_stats
 from hydra_tpu.samplers.bayesw import BayesW
 
 
@@ -50,9 +51,15 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     stats = None
-    for it in range(start_it, opt.chain_length):
+    for it, k in _iter_blocks(start_it, opt.chain_length, opt.thin,
+                              opt.save, verbose):
         t0 = time.time()
-        state, stats = sampler.step(state, it)
+        if k == 1:
+            state, stats = sampler.step(state, it)
+        else:
+            # fused dispatch between writer/telemetry events (see runner.py)
+            state, stats = sampler.run_steps(state, it - k + 1, k)
+            stats = _last_stats(stats)
         if it % opt.thin == 0:
             sg = np.asarray(state.sigma_g, dtype=np.float64)
             row = writer.csv_row_bw(it, float(state.mu), sg, float(state.alpha),
