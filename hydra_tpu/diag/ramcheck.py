@@ -8,7 +8,7 @@ buffers + per-marker state + window workspace.
 
 from __future__ import annotations
 
-from hydra_tpu.data.genotypes import IND_ALIGN
+from hydra_tpu.data.genotypes import pad_individuals
 from hydra_tpu.options import Options
 
 
@@ -18,7 +18,7 @@ def estimate_bytes(m_tot: int, n: int, n_chips: int, window: int,
 
     n_ind > 1 (--ind-shards) divides every N-length buffer — residual,
     workspace planes, genotype byte columns — by the inds axis size."""
-    n_pad = ((n + IND_ALIGN - 1) // IND_ALIGN) * IND_ALIGN
+    n_pad = pad_individuals(n)
     n_marker_chips = max(1, n_chips // max(n_ind, 1))
     n_loc = -(-n_pad // max(n_ind, 1))
     m_loc = -(-m_tot // n_marker_chips)
