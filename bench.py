@@ -403,13 +403,18 @@ def main():
               file=sys.stderr, flush=True)
     if sampler.cfg.use_mega:
         print("# whole-sweep mega-kernel: ON", file=sys.stderr, flush=True)
+    ctor_s = time.time() - t0
+    t0 = time.time()
     state = sampler.init_state()
-    setup_s = time.time() - t0
+    init_s = time.time() - t0
+    setup_s = ctor_s + init_s
     st = dict(getattr(sampler, "setup_timings", {}))
     print(f"# setup: layout+device_put in {setup_s:.1f} s "
           f"(layout {st.get('layout_s', 0):.1f} + h-pack "
           f"{st.get('hpack_s', 0):.1f} + device_put "
-          f"{st.get('device_put_s', 0):.1f})", file=sys.stderr, flush=True)
+          f"{st.get('device_put_s', 0):.1f} + small-puts "
+          f"{st.get('other_puts_s', 0):.1f} + init_state {init_s:.1f})",
+          file=sys.stderr, flush=True)
     # Tunnel-stall detection (VERDICT r3: a 336.8 s setup at M=10K sat
     # undiagnosed in BENCH_r03). Expected transfer: packed bytes at a
     # conservative 0.1 GB/s tunnel floor + 15 s slack. On breach, retry

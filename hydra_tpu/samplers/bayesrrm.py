@@ -946,8 +946,15 @@ class BayesRRm:
             mega_auto = (geno.n_pad <= 16384
                          or (complete and 2.2 * packed_bytes < 14.5e9))
         else:
+            # Wide N (n_pad >= 100K): the per-window path COLLAPSES — its
+            # per-window (W, NB) row gather + eps HBM round trips measured
+            # 16.4 ms/window at M=40K x N=500K vs the mega's 760 us
+            # (21.6x, 2026-08-20) — so mega turns on whenever HBM fits,
+            # regardless of M.
             mega_auto = (geno.n_pad <= 16384
                          or (m_loc >= 100_000
+                             and 2.2 * packed_bytes < 14.5e9)
+                         or (geno.n_pad >= 100_000
                              and 2.2 * packed_bytes < 14.5e9))
         use_mega = (mega_ok and mega != "off" and not forced_planes
                     and (mega == "on" or mega_auto))
@@ -1062,49 +1069,70 @@ class BayesRRm:
         if cfg.use_planes:
             from hydra_tpu.ops.planes import build_planes_host
 
-            self.planes = put(build_planes_host(packed_g), shard_pl)
+            planes_h = build_planes_host(packed_g)
         else:  # placeholder keeping the shard_map arity/specs static
             # cfg.n_dev is the TOTAL marker-shard count (incl. dcn)
-            self.planes = put(np.zeros((cfg.n_dev, 128), np.int8), shard_pl)
-        self.groups = put(groups_g, shard_m)
-        self.mave = put(mave_g, shard_m)
-        self.mstd = put(mstd_g, shard_m)
-        self.valid = put(valid_g, shard_m)
+            planes_h = np.zeros((cfg.n_dev, 128), np.int8)
 
         # mixture grids (BayesRRm.cpp:1004-1108)
         mS = dataset.mS.astype(np.float32)
         cvai = np.zeros_like(mS)
         cvai[:, 1:] = 1.0 / mS[:, 1:]
-        self.cva = put(jnp.asarray(mS), rep)
-        self.cvai = put(jnp.asarray(cvai), rep)
-
         # Dirichlet prior rows (ones, or --dPriorsFile; BayesRRm.cpp:2551-2554)
         dirc = (dataset.d_priors if dataset.d_priors is not None
                 else np.ones((dataset.num_groups, K)))
-        self.dirc = put(jnp.asarray(dirc, jnp.float32), rep)
         # sigmaG priors (v0G, s02G) per group (--groupPriorsFile; :2544-2548)
         sp = (dataset.priors if dataset.priors is not None
               else np.full((dataset.num_groups, 2), (V0G_DEFAULT, S02G_DEFAULT)))
-        self.sigma_priors = put(jnp.asarray(sp, jnp.float32), rep)
-
         mtot_grp = np.bincount(dataset.groups, minlength=dataset.num_groups)
-        self.mtot_grp = put(jnp.asarray(mtot_grp, jnp.int32), rep)
-
         ind_mask = np.zeros(geno.n_pad, dtype=np.float32)
         ind_mask[: geno.n] = 1.0
-        self.ind_mask = put(jnp.asarray(ind_mask), shard_i)
-
         if dataset.X is not None:
             xpad = np.zeros((geno.n_pad, dataset.X.shape[1]), dtype=np.float32)
             xpad[: geno.n] = dataset.X
-            self.x_cov = put(jnp.asarray(xpad), shard_i2)
         else:
-            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), shard_i2)
+            xpad = np.zeros((geno.n_pad, 0), np.float32)
+
+        # ONE batched device_put for every small constant: on tunneled
+        # backends each put is a host<->device round trip that can stall
+        # for minutes (measured 2026-08-20: 14 sequential small puts =
+        # 1,557 s of a wide-N setup; the 5 GB genotype transfer itself
+        # took 18 s). A single pytree put issues them together.
+        consts = put(
+            dict(planes=planes_h, groups=groups_g, mave=mave_g,
+                 mstd=mstd_g, valid=valid_g, cva=mS,
+                 cvai=cvai,
+                 dirc=np.asarray(dirc, np.float32),
+                 sigma_priors=np.asarray(sp, np.float32),
+                 mtot_grp=np.asarray(mtot_grp, np.int32),
+                 ind_mask=ind_mask, x_cov=xpad),
+            dict(planes=shard_pl, groups=shard_m, mave=shard_m,
+                 mstd=shard_m, valid=shard_m, cva=rep, cvai=rep, dirc=rep,
+                 sigma_priors=rep, mtot_grp=rep, ind_mask=shard_i,
+                 x_cov=shard_i2))
+        self.planes = consts["planes"]
+        self.groups = consts["groups"]
+        self.mave = consts["mave"]
+        self.mstd = consts["mstd"]
+        self.valid = consts["valid"]
+        self.cva = consts["cva"]
+        self.cvai = consts["cvai"]
+        self.dirc = consts["dirc"]
+        self.sigma_priors = consts["sigma_priors"]
+        self.mtot_grp = consts["mtot_grp"]
+        self.ind_mask = consts["ind_mask"]
+        self.x_cov = consts["x_cov"]
 
         self._rep = rep
         self._shard_m = shard_m
         self._multi = {}
         self._step = self._build_step()
+        if hasattr(self, "setup_timings"):
+            # the small puts above (stats rows, mixture grids, masks) are
+            # individually tiny but each rides the tunnel; under a stall
+            # they can dominate — time them as one bucket
+            self.setup_timings["other_puts_s"] = (
+                time.perf_counter() - _t3 )
 
     # ------------------------------------------------------------------
     def init_state(self) -> BayesRRmState:
@@ -1145,23 +1173,33 @@ class BayesRRm:
             c_slab = np.zeros(cfg.num_groups)
             lam0 = 1.0
 
-        put = jax.device_put
-        return BayesRRmState(
-            eps=put(jnp.asarray(eps), self._shard_i),
-            beta=put(jnp.zeros(cfg.m_glob, fdt), self._shard_m),
-            components=put(jnp.zeros(cfg.m_glob, jnp.int32), self._shard_m),
-            acum=put(jnp.zeros(cfg.m_glob, fdt), self._shard_m),
-            mu=put(fdt(0.0), self._rep),
-            sigma_e=put(fdt(sigma_e), self._rep),
-            sigma_g=put(jnp.asarray(sg, fdt), self._rep),
-            est_pi=put(jnp.asarray(pi0, fdt), self._rep),
-            gamma=put(jnp.zeros(max(cfg.n_cov, 0), fdt), self._rep),
-            lambda_var=put(jnp.full(cfg.m_glob, lam0, fdt), self._shard_m),
-            nu_var=put(jnp.zeros(cfg.m_glob, fdt), self._shard_m),
-            c_slab=put(jnp.asarray(c_slab, fdt), self._rep),
-            tau=put(fdt(tau), self._rep),
-            hyp_tau=put(fdt(hyp_tau), self._rep),
-        )
+        # one batched pytree device_put of host NumPy arrays (see the
+        # constructor's consts note: sequential small puts stall minutes
+        # each on tunneled backends)
+        ndt = np.float64 if cfg.dtype == "float64" else np.float32
+        return jax.device_put(
+            BayesRRmState(
+                eps=eps,
+                beta=np.zeros(cfg.m_glob, ndt),
+                components=np.zeros(cfg.m_glob, np.int32),
+                acum=np.zeros(cfg.m_glob, ndt),
+                mu=ndt(0.0),
+                sigma_e=ndt(sigma_e),
+                sigma_g=np.asarray(sg, ndt),
+                est_pi=np.asarray(pi0, ndt),
+                gamma=np.zeros(max(cfg.n_cov, 0), ndt),
+                lambda_var=np.full(cfg.m_glob, lam0, ndt),
+                nu_var=np.zeros(cfg.m_glob, ndt),
+                c_slab=np.asarray(c_slab, ndt),
+                tau=ndt(tau),
+                hyp_tau=ndt(hyp_tau)),
+            BayesRRmState(
+                eps=self._shard_i, beta=self._shard_m,
+                components=self._shard_m, acum=self._shard_m,
+                mu=self._rep, sigma_e=self._rep, sigma_g=self._rep,
+                est_pi=self._rep, gamma=self._rep,
+                lambda_var=self._shard_m, nu_var=self._shard_m,
+                c_slab=self._rep, tau=self._rep, hyp_tau=self._rep))
 
     # ------------------------------------------------------------------
     def init_state_from_restart(self, rd) -> BayesRRmState:

@@ -763,28 +763,39 @@ class BayesRRmMT:
         # device bytes are H-PACKED (ops/decode.py): minimal in-kernel decode
         from hydra_tpu.ops.decode import hpack_bytes
         self.packed = put(hpack_bytes(packed_g), shard_mb)
-        self.groups = put(groups_g, shard_m)
-        self.mave = put(mave_g, shard_m2)
-        self.mstd = put(mstd_g, shard_m2)
-        self.valid = put(valid_g, shard_m)
         mS = dataset.mS.astype(np.float32)
         cvai = np.zeros_like(mS)
         cvai[:, 1:] = 1.0 / mS[:, 1:]
-        self.cva = put(jnp.asarray(mS), rep)
-        self.cvai = put(jnp.asarray(cvai), rep)
-        self.mtot_grp = put(jnp.asarray(
-            np.bincount(dataset.groups, minlength=dataset.num_groups),
-            jnp.int32), rep)
         tm = np.zeros((geno.n_pad, T), dtype=np.float32)
         tm[: geno.n] = mask.T
-        self.trait_mask = put(jnp.asarray(tm), shard_i2)
-        self.n_per_trait = put(jnp.asarray(nonas, jnp.float32), rep)
         if dataset.X is not None:
             xpad = np.zeros((geno.n_pad, dataset.X.shape[1]), dtype=np.float32)
             xpad[: geno.n] = dataset.X
-            self.x_cov = put(jnp.asarray(xpad), shard_i2)
         else:
-            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), shard_i2)
+            xpad = np.zeros((geno.n_pad, 0), np.float32)
+        # one batched pytree device_put: sequential small puts each risk a
+        # multi-minute tunnel stall (see bayesrrm.py consts note)
+        consts = put(
+            dict(groups=groups_g, mave=mave_g, mstd=mstd_g, valid=valid_g,
+                 cva=mS, cvai=cvai,
+                 mtot_grp=np.asarray(np.bincount(
+                     dataset.groups, minlength=dataset.num_groups),
+                     np.int32),
+                 trait_mask=tm,
+                 n_per_trait=np.asarray(nonas, np.float32), x_cov=xpad),
+            dict(groups=shard_m, mave=shard_m2, mstd=shard_m2,
+                 valid=shard_m, cva=rep, cvai=rep, mtot_grp=rep,
+                 trait_mask=shard_i2, n_per_trait=rep, x_cov=shard_i2))
+        self.groups = consts["groups"]
+        self.mave = consts["mave"]
+        self.mstd = consts["mstd"]
+        self.valid = consts["valid"]
+        self.cva = consts["cva"]
+        self.cvai = consts["cvai"]
+        self.mtot_grp = consts["mtot_grp"]
+        self.trait_mask = consts["trait_mask"]
+        self.n_per_trait = consts["n_per_trait"]
+        self.x_cov = consts["x_cov"]
         self._rep, self._shard_m, self._shard_m2 = rep, shard_m, shard_m2
         self._multi = {}
         self._step = self._build_step()
@@ -802,18 +813,23 @@ class BayesRRmMT:
         pi0[:, :, 0] = 0.5
         denom = mS[:, 1:].sum(axis=1, keepdims=True)
         pi0[:, :, 1:] = 0.5 * (mS[:, 1:] / denom)[None, :, :]
-        put = jax.device_put
-        return MtState(
-            eps=put(jnp.asarray(eps), self._shard_i2),
-            beta=put(jnp.zeros((cfg.m_glob, T), jnp.float32), self._shard_m2),
-            components=put(jnp.zeros((cfg.m_glob, T), jnp.int32), self._shard_m2),
-            acum=put(jnp.zeros((cfg.m_glob, T), jnp.float32), self._shard_m2),
-            mu=put(jnp.zeros(T, jnp.float32), self._rep),
-            sigma_e=put(jnp.asarray(sigma_e, jnp.float32), self._rep),
-            sigma_g=put(jnp.asarray(sg, jnp.float32), self._rep),
-            est_pi=put(jnp.asarray(pi0, jnp.float32), self._rep),
-            gamma=put(jnp.zeros((cfg.n_cov, T), jnp.float32), self._rep),
-        )
+        # one batched pytree device_put (see constructor note)
+        return jax.device_put(
+            MtState(
+                eps=eps,
+                beta=np.zeros((cfg.m_glob, T), np.float32),
+                components=np.zeros((cfg.m_glob, T), np.int32),
+                acum=np.zeros((cfg.m_glob, T), np.float32),
+                mu=np.zeros(T, np.float32),
+                sigma_e=np.asarray(sigma_e, np.float32),
+                sigma_g=np.asarray(sg, np.float32),
+                est_pi=np.asarray(pi0, np.float32),
+                gamma=np.zeros((cfg.n_cov, T), np.float32)),
+            MtState(
+                eps=self._shard_i2, beta=self._shard_m2,
+                components=self._shard_m2, acum=self._shard_m2,
+                mu=self._rep, sigma_e=self._rep, sigma_g=self._rep,
+                est_pi=self._rep, gamma=self._rep))
 
     def _build_step(self):
         cfg = self.cfg

@@ -617,34 +617,45 @@ class BayesW:
         # device bytes are H-PACKED (ops/decode.py): minimal in-kernel decode
         from hydra_tpu.ops.decode import hpack_bytes
         self.packed = put(hpack_bytes(packed_g), shard_m2)
-        self.groups = put(groups_g, shard_m)
-        self.mave = put(mave_g, shard_m)
-        self.msd = put(msd_g, shard_m)
-        self.valid = put(valid_g, shard_m)
-        self.sum_fail = put(sfail_g, shard_m)
-
         # non-zero mixture values only (cVa in bW stores km1 columns,
         # BayesW.cpp:781-786)
-        self.cva_nz = put(jnp.asarray(dataset.mS[:, 1:], jnp.float32), rep)
         mtot_grp = np.bincount(dataset.groups, minlength=dataset.num_groups)
-        self.mtot_grp = put(jnp.asarray(mtot_grp, jnp.int32), rep)
-
         ind_mask = np.zeros(geno.n_pad, dtype=np.float32)
         ind_mask[: geno.n] = 1.0
-        self.ind_mask = put(jnp.asarray(ind_mask), shard_i)
         fail_pad = np.zeros(geno.n_pad, dtype=np.float32)
         fail_pad[: geno.n] = dataset.fail
-        self.fail = put(jnp.asarray(fail_pad), shard_i)
-
         if dataset.X is not None:
             xpad = np.zeros((geno.n_pad, dataset.X.shape[1]), dtype=np.float32)
             xpad[: geno.n] = dataset.X
-            self.x_cov = put(jnp.asarray(xpad), shard_i2)
-            sff = dataset.X.T @ dataset.fail      # BayesW.cpp:1236-1239
-            self.sum_fail_fix = put(jnp.asarray(sff, jnp.float32), rep)
+            sff = np.asarray(dataset.X.T @ dataset.fail,
+                             np.float32)          # BayesW.cpp:1236-1239
         else:
-            self.x_cov = put(jnp.zeros((geno.n_pad, 0), jnp.float32), shard_i2)
-            self.sum_fail_fix = put(jnp.zeros((0,), jnp.float32), rep)
+            xpad = np.zeros((geno.n_pad, 0), np.float32)
+            sff = np.zeros((0,), np.float32)
+        # one batched pytree device_put: sequential small puts each risk a
+        # multi-minute tunnel stall (see bayesrrm.py consts note)
+        consts = put(
+            dict(groups=groups_g, mave=mave_g, msd=msd_g, valid=valid_g,
+                 sum_fail=sfail_g,
+                 cva_nz=np.asarray(dataset.mS[:, 1:], np.float32),
+                 mtot_grp=np.asarray(mtot_grp, np.int32),
+                 ind_mask=ind_mask, fail=fail_pad, x_cov=xpad,
+                 sum_fail_fix=sff),
+            dict(groups=shard_m, mave=shard_m, msd=shard_m, valid=shard_m,
+                 sum_fail=shard_m, cva_nz=rep, mtot_grp=rep,
+                 ind_mask=shard_i, fail=shard_i, x_cov=shard_i2,
+                 sum_fail_fix=rep))
+        self.groups = consts["groups"]
+        self.mave = consts["mave"]
+        self.msd = consts["msd"]
+        self.valid = consts["valid"]
+        self.sum_fail = consts["sum_fail"]
+        self.cva_nz = consts["cva_nz"]
+        self.mtot_grp = consts["mtot_grp"]
+        self.ind_mask = consts["ind_mask"]
+        self.fail = consts["fail"]
+        self.x_cov = consts["x_cov"]
+        self.sum_fail_fix = consts["sum_fail_fix"]
 
         self._rep = rep
         self._shard_m = shard_m
@@ -670,17 +681,21 @@ class BayesW:
         eps = np.zeros(cfg.n_pad, dtype=np.float32)
         eps[: cfg.n_real] = y - mu
 
-        put = jax.device_put
-        return BayesWState(
-            eps=put(jnp.asarray(eps), self._shard_i),
-            beta=put(jnp.zeros(cfg.m_glob, jnp.float32), self._shard_m),
-            components=put(jnp.zeros(cfg.m_glob, jnp.int32), self._shard_m),
-            mu=put(jnp.float32(mu), self._rep),
-            alpha=put(jnp.float32(alpha), self._rep),
-            sigma_g=put(jnp.asarray(sigma_g, jnp.float32), self._rep),
-            pi_l=put(jnp.asarray(pi_l, jnp.float32), self._rep),
-            gamma=put(jnp.zeros(max(cfg.n_cov, 0), jnp.float32), self._rep),
-        )
+        # one batched pytree device_put (see constructor note)
+        return jax.device_put(
+            BayesWState(
+                eps=eps,
+                beta=np.zeros(cfg.m_glob, np.float32),
+                components=np.zeros(cfg.m_glob, np.int32),
+                mu=np.float32(mu),
+                alpha=np.float32(alpha),
+                sigma_g=np.asarray(sigma_g, np.float32),
+                pi_l=np.asarray(pi_l, np.float32),
+                gamma=np.zeros(max(cfg.n_cov, 0), np.float32)),
+            BayesWState(
+                eps=self._shard_i, beta=self._shard_m,
+                components=self._shard_m, mu=self._rep, alpha=self._rep,
+                sigma_g=self._rep, pi_l=self._rep, gamma=self._rep))
 
     def init_state_from_restart(self, rd) -> BayesWState:
         cfg = self.cfg

@@ -86,3 +86,26 @@ def test_na_correction_pipeline(synthetic_bed_factory):
     g_exp = geno[:, keep]
     g_dec, m_dec = plink.decode_bed_numpy(gd.packed, 18)
     np.testing.assert_array_equal(g_dec, np.where(g_exp >= 0, g_exp, 0))
+
+
+def test_pad_individuals_tile_friendly():
+    """pad_individuals must keep every common size's historical padding and
+    give wide N a packed width with a 512-1152-byte tile divisor (prime
+    widths forced 128-byte Pallas tiles and crashed the TPU worker at
+    N=500K — see the function docstring)."""
+    from hydra_tpu.data.genotypes import IND_ALIGN, pad_individuals
+
+    # historical paddings unchanged where they already tiled
+    assert pad_individuals(5_000) == 5_120
+    assert pad_individuals(50_000) == 50_176
+    assert pad_individuals(300) == 512
+    for n in (123, 5_000, 50_000, 458_000, 500_000, 458_783, 1_234_567):
+        np_ = pad_individuals(n)
+        assert np_ >= n and np_ % IND_ALIGN == 0
+        assert np_ - n < n * 0.011 + IND_ALIGN * 8, (n, np_)
+        q = np_ // IND_ALIGN
+        if q > 36:
+            # a tile in [512, 1152] bytes always divides the packed width
+            assert any(q % k == 0 for k in range(4, 10)), (n, q)
+    # the regression case: 977 (prime) must be avoided
+    assert pad_individuals(500_000) // IND_ALIGN != 977
