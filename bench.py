@@ -127,6 +127,13 @@ def load_or_make_problem(m, n, cache_path=""):
                   file=sys.stderr, flush=True)
             packed = None
         if packed is not None:
+            if packed.shape[0] > m and n_cached == n:
+                # marker-prefix slice of a bigger cache: valid timing
+                # problem (the phenotype keeps its signal from whichever
+                # causal markers remain in the panel)
+                print(f"# gen: slicing cache M={packed.shape[0]} -> {m}",
+                      file=sys.stderr, flush=True)
+                packed = packed[:m]
             if packed.shape[0] != m or n_cached != n:
                 raise SystemExit(f"--problem-cache {cache_path} holds "
                                  f"M={packed.shape[0]} N={n_cached}, not the "
