@@ -432,10 +432,16 @@ def main():
     pk_bytes = int(np.asarray(ds.geno.packed).nbytes)
     expected_s = pk_bytes / 0.1e9 + 15.0
     if put_s > expected_s:
+        # Probe with a BOUNDED transfer (<= 1 GB) and scale: retrying the
+        # full put doubled device residency and OOMed the M=1M row
+        # (12.5 GB packed x2 > 16 GB HBM, round 4).
+        probe_rows = max(1, min(ds.geno.packed.shape[0],
+                                int(1e9 // ds.geno.packed.shape[1])))
+        probe_np = np.ascontiguousarray(ds.geno.packed[:probe_rows])
         t0 = time.time()
-        probe = jax.device_put(np.asarray(ds.geno.packed))
+        probe = jax.device_put(probe_np)
         jax.block_until_ready(probe)
-        retry_s = time.time() - t0
+        retry_s = (time.time() - t0) * (pk_bytes / probe_np.nbytes)
         del probe
         verdict = ("transient tunnel stall"
                    if retry_s < expected_s else "persistent slow transfer")
