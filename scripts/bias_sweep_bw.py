@@ -26,19 +26,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALPHA_TRUE = 10.0
 
 
-def make_survival(m, n, seed=1):
-    from bench import make_problem
+def make_survival(m, n, seed=1, cache=""):
+    from bench import load_or_make_problem, make_problem
 
-    ds = make_problem(m, n, seed=seed)
+    ds = (load_or_make_problem(m, n, cache) if cache
+          else make_problem(m, n, seed=seed))
     rs = np.random.RandomState(11)
     w = rs.gumbel(size=n)
     # log-time = mu + genetic signal + Gumbel/alpha (Weibull log-time model)
-    ds.y = 4.0 + 0.02 * ds.y + w / ALPHA_TRUE
+    ds.y = 4.0 + 0.02 * np.asarray(ds.y, np.float64) + w / ALPHA_TRUE
     ds.fail = (rs.random(n) > 0.2).astype(np.float64)
     return ds
 
 
 def run_chain(ds, window, iters, burn, seed=101, quad=25):
+    """Posterior trace with the chain advanced in fused 5-sweep blocks
+    (run_steps is chain-identical to 5 step() calls; the tunneled backend
+    costs ~25 ms per dispatch, so per-step fetching at production scale
+    measures the tunnel). Thinning is every 5 sweeps, as before — the
+    trace records the state after iterations 4, 9, ... >= burn."""
     import jax
     from hydra_tpu.parallel.mesh import make_mesh
     from hydra_tpu.samplers.bayesw import BayesW
@@ -48,12 +54,15 @@ def run_chain(ds, window, iters, burn, seed=101, quad=25):
     state = sampler.init_state()
     alphas, sgs, m0s = [], [], []
     t0 = time.time()
-    for it in range(iters):
-        state, stats = sampler.step(state, it)
-        if it >= burn and it % 5 == 0:
+    it = 0
+    while it < iters:
+        k = min(5, iters - it)
+        state, stats = sampler.run_steps(state, it, k)
+        it += k
+        if it > burn:
             alphas.append(float(state.alpha))
             sgs.append(float(np.asarray(state.sigma_g).sum()))
-            m0s.append(int(np.asarray(stats.m0).sum()))
+            m0s.append(int(np.asarray(stats.m0)[-1].sum()))
     jax.block_until_ready(state.eps)
     dt = time.time() - t0
     alphas = np.asarray(alphas)
@@ -78,13 +87,15 @@ def main():
     ap.add_argument("--windows", default="1,8,64,256")
     ap.add_argument("--out", default="")
     ap.add_argument("--device", default="")
+    ap.add_argument("--problem-cache", default="",
+                    help="bench npz cache (marker-prefix slices allowed)")
     args = ap.parse_args()
 
     import jax
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
-    ds = make_survival(args.m, args.n)
+    ds = make_survival(args.m, args.n, cache=args.problem_cache)
     results = []
     for w in [int(x) for x in args.windows.split(",") if x]:
         r = run_chain(ds, w, args.iters, args.burn)
