@@ -365,6 +365,8 @@ def main():
     ap.add_argument("--cache-planes", dest="plane_cache", default="auto",
                     choices=["auto", "on", "off"])
     ap.add_argument("--mega", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument("--schedule", default="auto",
+                    choices=["auto", "marker", "block"])
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--model", choices=["bayesrrm", "bayesw", "mt"],
                     default="bayesrrm")
@@ -404,7 +406,7 @@ def main():
     t0 = time.time()
     sampler = BayesRRm(ds, window=args.window, exact=args.exact,
                        seed=11, mesh=mesh, plane_cache=args.plane_cache,
-                       mega=args.mega)
+                       mega=args.mega, schedule=args.schedule)
     if sampler.cfg.use_planes:
         print("# plane cache: ON (int8 decoded planes resident in HBM)",
               file=sys.stderr, flush=True)

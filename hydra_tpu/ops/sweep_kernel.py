@@ -778,6 +778,7 @@ def _sweep_kernel(K: int, n_tiles: int, complete: bool, PREC,
 def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
                 i_2se, dNm1, *, window: int, n_mix: int, complete: bool,
                 ind_mask4: Optional[jax.Array] = None, tile_bytes: int = 0,
+                win_perm: Optional[jax.Array] = None,
                 vma=None, interpret: bool = False
                 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full stale-window Gibbs sweep in one kernel launch.
@@ -786,6 +787,20 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     eps_d: (4, NB) plane-major residual; mrow: (m_loc, mrow_width(K))
     per-marker rows (same order as pk_shuf); ind_mask4: (4, NB) plane-major
     individual mask (required iff complete=True).
+
+    win_perm (block schedule): an (n_windows,) int32 window permutation.
+    When given, pk_shuf is the UNSHUFFLED resident packed array and window
+    w's rows are DMA'd directly from row-block win_perm[w] via a scalar-
+    prefetch index map — no second (m_loc, NB) HBM copy and no per-sweep
+    gather, which is what frees the mega kernel from its 2.2x-packed HBM
+    headroom gate at large M. mrow/out stay in COMPOSITE order (window w
+    holds markers [win_perm[w]*W, ...+W)); the caller gathers mrow with
+    the expanded permutation and scatters out with it, exactly as in
+    marker-schedule mode. Stale-window semantics are unchanged — within a
+    window every marker reads the same frozen residual, so only the
+    window PARTITION differs from the per-marker shuffle (a valid
+    systematic-scan Gibbs schedule; samplers/bayesrrm.py::BayesRRmConfig
+    docs the bias story).
 
     Returns (eps_d', out) with out columns [beta_new, comp, acum0, dbeta]
     per shuffled marker.
@@ -824,24 +839,28 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
                 else jax.ShapeDtypeStruct(shape, f32))
 
     nmt = mask_t.shape[0]
+    if win_perm is None:
+        pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+    else:
+        # scalar-prefetch refs arrive AFTER the grid indices in index maps
+        pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+            pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), lambda w, p, t, *_: (w, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nmt, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((nmt, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((8, W), lambda w, p, t, *_: (w, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -851,13 +870,21 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pltpu.VMEM((1, 1), f32),    # 2*sum(c1)+sum(c2) (complete mode)
         ],
     )
+    kern = functools.partial(_sweep_kernel, n_mix, n_tiles, complete,
+                             jax.lax.Precision.HIGHEST if interpret else None)
+    if win_perm is None:
+        operands = (pk_shuf, mrow_t, eps_t, mask_t, sc)
+        body = kern
+    else:
+        operands = (jnp.asarray(win_perm, jnp.int32),
+                    pk_shuf, mrow_t, eps_t, mask_t, sc)
+        body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_kernel, n_mix, n_tiles, complete,
-                          jax.lax.Precision.HIGHEST if interpret else None),
+        body,
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow_t, eps_t, mask_t, sc)
+    )(*operands)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
     out4 = out.reshape(n_windows, 8, W)[:, :4, :]   # (nw, 4, W) row slabs
     return eps_new, out4.transpose(0, 2, 1).reshape(m_loc, 4)

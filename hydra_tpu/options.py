@@ -98,6 +98,8 @@ class Options:
     dtype: str = "float32"               # accumulation dtype
     plane_cache: str = "off"             # int8 decoded-plane cache (ops/planes.py)
     mega: str = "auto"                   # whole-sweep mega-kernel gate override
+    schedule: str = "auto"               # marker-processing schedule
+                                         # (auto|marker|block; see BayesRRmConfig)
     cross_sync: int = 0                  # exact-mode cross-shard exchange
                                          # interval B (markers); 0 -> window
     device: str = ""                     # JAX platform override (cpu|tpu|...)
@@ -276,6 +278,15 @@ def build_parser() -> argparse.ArgumentParser:
       help="whole-sweep mega-kernel (single-shard stale runs): auto gates "
            "on the VMEM-resident residual size; on forces it beyond the "
            "N auto-gate, off disables")
+    a("--schedule", dest="schedule", default="auto",
+      choices=["auto", "marker", "block"],
+      help="marker-processing schedule for stale windows: 'marker' = the "
+           "reference's fresh per-sweep marker permutation; 'block' = a "
+           "one-time decorrelating marker->slot permutation plus per-sweep "
+           "window-BLOCK shuffle, letting the whole-sweep mega kernel DMA "
+           "windows in place (no second packed HBM copy — required for "
+           "mega at very large M). auto = marker unless the marker-mega "
+           "is HBM-gated off. Exact mode always uses marker")
     a("--cross-sync", dest="cross_sync", type=int, default=0,
       help="exact mode, >1 marker shards: apply OTHER shards' delta-betas "
            "to the in-window correction every B markers (must divide the "
@@ -371,6 +382,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.dtype = ns.dtype
     opt.plane_cache = ns.plane_cache
     opt.mega = ns.mega
+    opt.schedule = ns.schedule
     opt.cross_sync = ns.cross_sync
     opt.device = ns.device
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):

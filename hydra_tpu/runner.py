@@ -312,7 +312,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
         shuffle=bool(opt.shuffle_markers), seed=opt.seed,
         n_devices=opt.n_devices, n_ind=opt.ind_shards,
         n_dcn=opt.dcn_slices, dtype=opt.dtype, plane_cache=opt.plane_cache,
-        mega=opt.mega, cross_sync=opt.cross_sync,
+        mega=opt.mega, cross_sync=opt.cross_sync, schedule=opt.schedule,
         fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
                        s02c=opt.s02c, tau0=opt.tau0))
 

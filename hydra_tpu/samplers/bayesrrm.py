@@ -112,6 +112,25 @@ class BayesRRmConfig:
     cross_sync: int = 0  # resolved to min(B, window) in __init__; 0 = window
     fh: bool = False
     shuffle: bool = True
+    # Marker-processing schedule. "marker" (reference semantics,
+    # BayesRRm.cpp:1691-1694): a fresh per-sweep permutation of all
+    # markers; the mega kernel must then GATHER a full shuffled copy of
+    # the packed bytes each sweep (second HBM copy -> the 2.2x-packed
+    # gate). "block": a one-time setup permutation of marker->slot
+    # assignment (decorrelates genome-adjacent/LD markers) composed with
+    # a per-sweep permutation of WINDOW BLOCKS, so the mega kernel can
+    # DMA window rows in place via a scalar-prefetch index map — no
+    # gather, no second copy, mega available at any M that fits HBM.
+    # Within a stale window every marker reads the same frozen residual,
+    # so the draw math is identical; only the window PARTITION is fixed
+    # per chain (markers sharing a block stay window-mates). That is a
+    # valid systematic-scan Gibbs schedule (the posterior is untouched;
+    # scan-order choices affect mixing only), and with the setup
+    # permutation the fixed blocks are random marker sets, so the
+    # within-window stale coupling matches BIAS_SWEEP.md's measured
+    # regime. Exact mode keeps "marker" — its window-invariance
+    # (W=1 == W=N) holds only when the marker ORDER is window-agnostic.
+    schedule: str = "marker"
     use_pallas: bool = False   # fused window-Gibbs kernel (TPU backends)
     use_mega: bool = False     # whole-sweep mega-kernel (single-shard stale)
     use_wmega: bool = False    # per-window fused sweep kernels (multi-shard)
@@ -219,7 +238,17 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     eps = eps - mu * ind_mask
 
     # ---- marker order: per-shard permutation (BayesRRm.cpp:1691-1694) ----
-    if cfg.shuffle:
+    wperm = None
+    if cfg.schedule == "block" and cfg.shuffle:
+        # block schedule: permute WINDOW BLOCKS (see BayesRRmConfig.schedule;
+        # the setup-time slot permutation already decorrelated block
+        # membership). perm expands to the composite marker order so every
+        # non-kernel consumer (mrow gather, beta scatter) is unchanged.
+        wperm = jax.random.permutation(
+            jax.random.fold_in(site(_S_PERM), dev), cfg.n_windows)
+        perm = (wperm[:, None] * W
+                + jnp.arange(W, dtype=wperm.dtype)).reshape(-1)
+    elif cfg.shuffle:
         perm = jax.random.permutation(
             jax.random.fold_in(site(_S_PERM), dev), cfg.m_loc)
     else:
@@ -709,6 +738,16 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             eps_d, out_m = jax.lax.fori_loop(
                 0, cfg.n_windows, wbody, (deinterleave(eps), out0))
             eps = interleave(eps_d)
+        elif cfg.schedule == "block" and not cfg.exact and cfg.use_mega:
+            # block schedule: NO gather — the kernel DMAs window rows from
+            # the resident packed array through the win_perm prefetch map
+            eps_new_d, out_m = sweep_stale(
+                packed, deinterleave(eps), mrow, i_2se, dNm1,
+                window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                ind_mask4=mask4, win_perm=wperm if wperm is not None
+                else jnp.arange(cfg.n_windows, dtype=jnp.int32),
+                vma=vma_axes, interpret=cfg.interpret)
+            eps = jax.lax.psum(interleave(eps_new_d), ma)
         else:
             pk_shuf = jnp.take(packed, perm, axis=0)
             # single-decode variant (decode each window's bytes ONCE through
@@ -877,7 +916,8 @@ class BayesRRm:
                  n_ind: int = 1, n_dcn: int = 1,
                  fh_params: Optional[dict] = None,
                  dtype: str = "float32", plane_cache: str = "auto",
-                 mega: str = "auto", cross_sync: int = 0):
+                 mega: str = "auto", cross_sync: int = 0,
+                 schedule: str = "auto"):
         if dtype == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "--dtype float64 requires x64 mode "
@@ -956,8 +996,32 @@ class BayesRRm:
                              and 2.2 * packed_bytes < 14.5e9)
                          or (geno.n_pad >= 100_000
                              and 2.2 * packed_bytes < 14.5e9))
+        # ---- schedule resolution (see BayesRRmConfig.schedule) ----
+        if schedule not in ("auto", "marker", "block"):
+            raise ValueError(f"schedule must be auto/marker/block, "
+                             f"got {schedule!r}")
+        if schedule == "block" and exact:
+            print("INFO   : --schedule block needs stale windows (exact "
+                  "mode's window-invariance requires a window-agnostic "
+                  "marker order) — keeping the marker schedule", flush=True)
+            schedule = "marker"
+        if schedule == "auto":
+            # block only where the marker-schedule mega is HBM-gated off
+            # (big M: the per-sweep gather's second packed copy does not
+            # fit). Everywhere else keep reference marker semantics.
+            block_fit = packed_bytes + 1.5e9 < 15.5e9
+            schedule = ("block" if (not exact and mega_ok and window >= 8
+                                    and mega != "off" and not forced_planes
+                                    and not mega_auto and block_fit)
+                        else "marker")
+            if schedule == "block":
+                print("INFO   : big-M stale run — using the block schedule "
+                      "so the whole-sweep mega kernel runs without a second "
+                      "packed HBM copy (--schedule marker restores the "
+                      "per-marker shuffle on the per-window path)",
+                      flush=True)
         use_mega = (mega_ok and mega != "off" and not forced_planes
-                    and (mega == "on" or mega_auto))
+                    and (mega == "on" or mega_auto or schedule == "block"))
         # Multi-shard per-window fused launches (VERDICT r3 #1c): the same
         # sweep kernels, ONE launch + ONE residual psum per window — D > 1
         # no longer re-pays the 2-3 launches + XLA glue the mega kernels
@@ -987,7 +1051,7 @@ class BayesRRm:
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
-            cross_sync=cs,
+            cross_sync=cs, schedule=schedule,
             # complete data (no missing genotypes among real individuals):
             # mask-plane work in the window kernels degenerates to sums
             complete=complete,
@@ -1035,6 +1099,24 @@ class BayesRRm:
             mstd_g[sl] = geno.mstd[s: s + l]
             valid_g[sl] = 1.0
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
+        if cfg.schedule == "block":
+            # one-time setup permutation of marker -> slot assignment so
+            # the fixed window blocks are RANDOM marker sets, not genome-
+            # adjacent (LD-correlated) runs (BayesRRmConfig.schedule).
+            # Deterministic in the chain seed, so a --restart of the same
+            # seed rebuilds the identical layout. Applied per shard to
+            # preserve shard membership / --marker-blocks-file semantics.
+            # Transiently copies one shard's packed rows on the host.
+            rs = np.random.RandomState((seed ^ 0x5EED1) & 0x7FFFFFFF)
+            for d in range(n_dev):
+                sl = slice(d * m_loc, (d + 1) * m_loc)
+                p = rs.permutation(m_loc)
+                packed_g[sl] = packed_g[sl][p]
+                groups_g[sl] = groups_g[sl][p]
+                mave_g[sl] = mave_g[sl][p]
+                mstd_g[sl] = mstd_g[sl][p]
+                valid_g[sl] = valid_g[sl][p]
+                slot_to_marker[sl] = slot_to_marker[sl][p]
         self.slot_to_marker = slot_to_marker
 
         max_ = marker_axes(cfg.n_dcn)

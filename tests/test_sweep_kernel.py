@@ -276,3 +276,51 @@ def test_wmega_exact_matches_window_path():
 def test_wmega_exact_padded_markers():
     ds, _, _ = simulate(m=100, n=256, h2=0.5, seed=39)  # pads on each shard
     _compare_wmega(ds, window=8, n_dev=4, exact=True, iters=4)
+
+
+# ---- block schedule (win_perm scalar-prefetch mega, round 4) ----
+
+def test_block_schedule_mega_matches_window_path():
+    """Block-schedule mega (win_perm prefetch DMA, no gather) must equal
+    the XLA per-window path running the SAME composite schedule."""
+    ds, _, _ = simulate(m=192, n=400, h2=0.5, seed=5)
+    _compare(ds, window=32, schedule="block")
+
+
+def test_block_schedule_mega_missing_data():
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=11)
+    pk = np.asarray(ds.geno.packed).copy()
+    rs = np.random.RandomState(1)
+    for r in rs.choice(pk.shape[0], 40, replace=False):
+        pk[r, rs.randint(0, 60)] = (pk[r, 0] & 0b11111100) | 0b01
+    from hydra_tpu.data.genotypes import Dataset, GenotypeData
+    geno = GenotypeData.from_packed(pk, ds.geno.n,
+                                    np.array([], dtype=np.int64))
+    ds2 = Dataset(geno=geno, y=ds.y, groups=ds.groups,
+                  num_groups=ds.num_groups, mS=ds.mS)
+    _compare(ds2, window=32, seed=3, schedule="block")
+
+
+def test_block_schedule_differs_from_marker_but_recovers():
+    """The two schedules are different (valid) chains over the same
+    posterior: same setup-permuted slot layout question — sanity that the
+    block chain moves and keeps finite state."""
+    ds, _, _ = simulate(m=192, n=400, h2=0.5, seed=5)
+    sb = BayesRRm(ds, window=32, exact=False, seed=7, mesh=make_mesh(1),
+                  schedule="block")
+    assert sb.cfg.schedule == "block"
+    # slot layout is permuted, and slot_to_marker still covers every marker
+    assert not np.array_equal(sb.slot_to_marker, np.arange(192))
+    assert set(sb.slot_to_marker.tolist()) >= set(range(192))
+    st = sb.init_state()
+    for it in range(3):
+        st, _ = sb.step(st, it)
+    assert np.isfinite(np.asarray(st.eps)).all()
+    assert float(np.asarray(st.sigma_g).sum()) > 0
+
+
+def test_block_schedule_exact_falls_back_to_marker():
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=5)
+    s = BayesRRm(ds, window=32, exact=True, seed=7, mesh=make_mesh(1),
+                 schedule="block")
+    assert s.cfg.schedule == "marker"
