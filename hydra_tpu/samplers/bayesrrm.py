@@ -1221,15 +1221,19 @@ class BayesRRm:
         """init_from_scratch equivalent (BayesRRm.cpp:1224-1240, :1564-1584)."""
         cfg = self.cfg
         fdt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-        key = jax.random.key(self.seed)
         y = center_and_scale(self.ds.y)
         eps = np.zeros(cfg.n_pad, dtype=fdt)
         eps[: cfg.n_real] = y
         sigma_e = float(np.sum(y * y) / cfg.n_real * 0.5)
 
-        # sigmaG ~ Beta(1,1) per group, zero for empty groups (:1231-1240)
-        sg = np.array(dist.beta_rng(
-            jax.random.fold_in(key, _S_INIT_SIGMAG), 1.0, 1.0, (cfg.num_groups,)))
+        # hyper draws on the CPU backend (bit-identical threefry values,
+        # no per-process remote compiles — dist.host_draws docstring)
+        with dist.host_draws():
+            key = jax.random.key(self.seed)
+            # sigmaG ~ Beta(1,1) per group, zero empty groups (:1231-1240)
+            sg = np.array(dist.beta_rng(
+                jax.random.fold_in(key, _S_INIT_SIGMAG), 1.0, 1.0,
+                (cfg.num_groups,)))
         mtot_grp = np.bincount(self.ds.groups, minlength=cfg.num_groups)
         sg[mtot_grp == 0] = 0.0
 
@@ -1241,14 +1245,17 @@ class BayesRRm:
         pi0[:, 1:] = 0.5 * mS[:, 1:] / denom
 
         if cfg.fh:
-            kfh = jax.random.fold_in(key, _S_INIT_FH)
-            hyp_tau = float(dist.inv_gamma_rate_rng(
-                jax.random.fold_in(kfh, 0), 0.5, 1.0 / (cfg.tau0 ** 2)))
-            tau = float(dist.inv_gamma_rate_rng(
-                jax.random.fold_in(kfh, 1), 0.5 * cfg.v0t, cfg.v0t / hyp_tau))
-            c_slab = np.asarray(jax.vmap(
-                lambda k: dist.inv_scaled_chisq_rng(k, cfg.v0c, cfg.s02c)
-            )(jax.random.split(jax.random.fold_in(kfh, 2), cfg.num_groups)))
+            with dist.host_draws():
+                kfh = jax.random.fold_in(key, _S_INIT_FH)
+                hyp_tau = float(dist.inv_gamma_rate_rng(
+                    jax.random.fold_in(kfh, 0), 0.5, 1.0 / (cfg.tau0 ** 2)))
+                tau = float(dist.inv_gamma_rate_rng(
+                    jax.random.fold_in(kfh, 1), 0.5 * cfg.v0t,
+                    cfg.v0t / hyp_tau))
+                c_slab = np.asarray(jax.vmap(
+                    lambda k: dist.inv_scaled_chisq_rng(k, cfg.v0c, cfg.s02c)
+                )(jax.random.split(jax.random.fold_in(kfh, 2),
+                                   cfg.num_groups)))
             lam0 = float(c_slab.sum() / cfg.m_tot)       # :1160-1161
         else:
             hyp_tau, tau = 1.0, 1.0

@@ -806,8 +806,10 @@ class BayesRRmMT:
         eps = np.zeros((cfg.n_pad, T), dtype=np.float32)
         eps[: self.ds.geno.n] = self._y.T
         sigma_e = (self._y ** 2).sum(axis=1) / self._nonas * 0.5
-        key = jax.random.fold_in(jax.random.key(self.seed), _S_INIT)
-        sg = np.array(dist.beta_rng(key, 1.0, 1.0, (T, cfg.num_groups)))
+        # CPU-backed draws: bit-identical, no remote compiles (dist.host_draws)
+        with dist.host_draws():
+            key = jax.random.fold_in(jax.random.key(self.seed), _S_INIT)
+            sg = np.array(dist.beta_rng(key, 1.0, 1.0, (T, cfg.num_groups)))
         mS = self.ds.mS
         pi0 = np.zeros((T, cfg.num_groups, cfg.k))
         pi0[:, :, 0] = 0.5

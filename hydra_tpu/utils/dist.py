@@ -17,8 +17,30 @@ when jax_enable_x64 is on and dtype passed).
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+
+def host_draws():
+    """Context routing init-time hyper draws to the co-resident CPU backend.
+
+    The handful of jax.random scalar draws in each sampler's init_state are
+    host-destined (np.array'd immediately), yet on remote-compile backends
+    (the axon tunnel) every distinct tiny op costs a fresh ~20-90 s remote
+    compile per process — measured 550-895 s of M >= 800K bench setup
+    (/tmp/probe_init 2026-08-20: the draws alone were 76.9 s uncontended;
+    all device transfers < 1 s). threefry RNG is platform-deterministic,
+    so computing them on the CPU backend yields BIT-IDENTICAL values with
+    no remote compile. No-op when CPU is already the default backend or no
+    CPU backend exists."""
+    try:
+        if jax.default_backend() != "cpu":
+            return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        pass
+    return contextlib.nullcontext()
 
 
 def norm_rng(key, mean, sigma2, shape=(), dtype=jnp.float32):
