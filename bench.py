@@ -217,6 +217,7 @@ def _time_bayesw(ds, args):
     import jax.numpy as jnp
 
     sampler = BayesW(ds, window=args.window, seed=13, mesh=make_mesh(1),
+                     schedule=args.schedule,
                      quad_points=25, mega=args.mega)
     state = sampler.init_state()
     # fused k-sweep dispatches (see the BayesRRm timing comment: the tunnel

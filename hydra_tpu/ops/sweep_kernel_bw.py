@@ -39,7 +39,7 @@ samplers/bayesw.py::window_body.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -315,7 +315,8 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
                    mrow: jax.Array, gh_x_pad: jax.Array, gh_w_pad: jax.Array,
                    alpha, *, window: int, n_mix: int, complete: bool,
                    ind_mask4: jax.Array, n_expand: int = 10,
-                   n_shrink: int = 24, tile_bytes: int = 0, vma=None,
+                   n_shrink: int = 24, tile_bytes: int = 0,
+                   win_perm: Optional[jax.Array] = None, vma=None,
                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Run a full BayesW stale-window sweep in one kernel launch.
 
@@ -325,6 +326,11 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
     gh_x_pad / gh_w_pad: (1, QP) lane-padded Gauss-Hermite nodes / adjusted
     weights (pad lanes MUST be x=0, w=0); ind_mask4: (4, NB) plane-major
     individual mask (always required — the vi refresh needs it).
+
+    win_perm (block schedule): (n_windows,) int32 window permutation —
+    pk_shuf is then the UNSHUFFLED resident packed array and window rows
+    are DMA'd via a scalar-prefetch index map (no gather, no second HBM
+    copy; see ops/sweep_kernel.sweep_stale).
 
     Returns (eps_d', out) with out columns [beta_new, comp, dbeta, 0] per
     shuffled marker.
@@ -361,30 +367,34 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
                 else jax.ShapeDtypeStruct(shape, f32))
 
+    if win_perm is None:
+        pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+    else:
+        # scalar-prefetch refs arrive AFTER the grid indices in index maps
+        pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+            pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), lambda w, p, t, *_: (w, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((QP, 1), lambda w, p, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QP, 1), lambda w, p, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((QP, 1), lambda w, p, t: (0, 0),
+            pl.BlockSpec((QP, 1), lambda w, p, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((8, W), lambda w, p, t, *_: (w, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -397,14 +407,22 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
             pltpu.VMEM((n_tiles, 4, tb), f32),  # resident vi
         ],
     )
+    kern = functools.partial(_sweep_bw_kernel, n_mix, n_tiles, n_expand,
+                             n_shrink, complete,
+                             jax.lax.Precision.HIGHEST if interpret else None)
+    if win_perm is None:
+        operands = (pk_shuf, mrow_t, eps_t, vi_t, mask_t, ghx_c, ghw_c, sc)
+        body = kern
+    else:
+        operands = (jnp.asarray(win_perm, jnp.int32),
+                    pk_shuf, mrow_t, eps_t, vi_t, mask_t, ghx_c, ghw_c, sc)
+        body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_bw_kernel, n_mix, n_tiles, n_expand,
-                          n_shrink, complete,
-                          jax.lax.Precision.HIGHEST if interpret else None),
+        body,
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow_t, eps_t, vi_t, mask_t, ghx_c, ghw_c, sc)
+    )(*operands)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
     out4 = out.reshape(n_windows, 8, W)[:, :4, :]   # (nw, 4, W) row slabs
     return eps_new, out4.transpose(0, 2, 1).reshape(m_loc, 4)

@@ -35,7 +35,8 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
     sampler = BayesW(ds, window=opt.window, shuffle=bool(opt.shuffle_markers),
                      seed=opt.seed, quad_points=int(opt.quad_points),
                      n_devices=opt.n_devices, n_ind=opt.ind_shards,
-                     n_dcn=opt.dcn_slices, mega=opt.mega)
+                     n_dcn=opt.dcn_slices, mega=opt.mega,
+                     schedule=opt.schedule)
 
     if rd is not None:
         state = sampler.init_state_from_restart(rd)

@@ -95,6 +95,9 @@ class BayesWConfig:
     n_dcn: int = 1            # multi-slice hierarchy (see parallel/mesh.py)
     quad_n: int = 25
     shuffle: bool = True
+    schedule: str = "marker"  # marker | block (see BayesRRmConfig.schedule;
+                              # BayesW windows are stale by construction, so
+                              # block applies to every windowed bw run)
     use_pallas: bool = False
     use_mega: bool = False    # whole-sweep mega-kernel (single-shard stale)
     interpret: bool = False   # pallas interpret mode (tests)
@@ -241,7 +244,15 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * ind_mask
 
     # ---- marker order + per-marker keys ----
-    if cfg.shuffle:
+    wperm = None
+    if cfg.schedule == "block" and cfg.shuffle:
+        # window-BLOCK shuffle (see bayesrrm.py); perm expands to the
+        # composite marker order for every non-kernel consumer
+        wperm = jax.random.permutation(
+            jax.random.fold_in(site(_S_PERM), dev), cfg.n_windows)
+        perm = (wperm[:, None] * W
+                + jnp.arange(W, dtype=wperm.dtype)).reshape(-1)
+    elif cfg.shuffle:
         perm = jax.random.permutation(
             jax.random.fold_in(site(_S_PERM), dev), cfg.m_loc)
     else:
@@ -411,7 +422,13 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         n_shrink, n_expand = N_SHRINK, N_EXPAND
-        pk_shuf = jnp.take(packed, perm, axis=0)
+        if cfg.schedule == "block":
+            pk_shuf = packed     # kernel DMAs rows via the win_perm map
+            wp_arg = (wperm if wperm is not None
+                      else jnp.arange(cfg.n_windows, dtype=jnp.int32))
+        else:
+            pk_shuf = jnp.take(packed, perm, axis=0)
+            wp_arg = None
         mave_s = jnp.take(mave, perm)
         sd_s = jnp.take(msd, perm)
         act_s = (jnp.take(valid, perm) > 0) & (sd_s > 0)
@@ -466,7 +483,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             pk_shuf, deinterleave(eps), deinterleave(vi), mrow,
             ghx_p, ghw_p, alpha, window=W, n_mix=cfg.k,
             complete=cfg.complete, ind_mask4=deinterleave(ind_mask),
-            n_expand=n_expand, n_shrink=n_shrink,
+            n_expand=n_expand, n_shrink=n_shrink, win_perm=wp_arg,
             vma=vma_axes, interpret=cfg.interpret)
         # identity psum (mega is gated to one marker shard) marking the
         # residual replicated again for shard_map's vma checker
@@ -520,7 +537,8 @@ class BayesW:
     def __init__(self, dataset: Dataset, *, window: int = 1,
                  shuffle: bool = True, seed: int = 0, quad_points: int = 25,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
-                 n_ind: int = 1, n_dcn: int = 1, mega: str = "auto"):
+                 n_ind: int = 1, n_dcn: int = 1, mega: str = "auto",
+                 schedule: str = "auto"):
         if dataset.fail is None:
             raise ValueError("BayesW requires failure indicators (--failure)")
         self.ds = dataset
@@ -539,12 +557,34 @@ class BayesW:
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
+        mega_base = (jax.default_backend() == "tpu" and window >= 8
+                     and n_dev == 1 and n_ind == 1 and n_dcn == 1
+                     and mega != "off")
+        packed_bytes = m_loc * (geno.n_pad // 4)
+        # marker-schedule mega gathers a second shuffled packed copy per
+        # sweep — at big M that copy must also fit HBM (same 2.2x rule as
+        # BayesRRm; previously unchecked here)
+        copy_fits = 2.2 * packed_bytes < 14.5e9
+        if schedule not in ("auto", "marker", "block"):
+            raise ValueError(f"schedule must be auto/marker/block, "
+                             f"got {schedule!r}")
+        if schedule == "auto":
+            # block only where the marker-schedule mega cannot fit the
+            # gather copy (BayesW windows are stale, so block is always
+            # semantically admissible; see BayesRRmConfig.schedule)
+            schedule = ("block" if (mega_base and geno.n_pad <= 65536
+                                    and not copy_fits
+                                    and packed_bytes + 1.5e9 < 15.5e9)
+                        else "marker")
+            if schedule == "block":
+                print("INFO   : big-M BayesW run — block schedule (mega "
+                      "without a second packed HBM copy)", flush=True)
         self.cfg = BayesWConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
             n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
-            quad_n=quad_points, shuffle=shuffle,
+            quad_n=quad_points, shuffle=shuffle, schedule=schedule,
             complete=bool(np.asarray(geno.nm).sum() == 0),
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
@@ -552,11 +592,12 @@ class BayesW:
             # shard, stale windows. Unlike BayesRRm (crossover at N~20K),
             # the BayesW per-window glue is ~90 us/window — far above the
             # per-sweep shuffle-gather cost — so the gate is VMEM-bound
-            # (3 resident (4, NB) f32 buffers), not crossover-bound.
-            use_mega=(jax.default_backend() == "tpu" and window >= 8
-                      and n_dev == 1 and n_ind == 1 and n_dcn == 1
-                      and mega != "off"
-                      and (mega == "on" or geno.n_pad <= 65536)))
+            # (3 resident (4, NB) f32 buffers) plus, in marker-schedule
+            # mode, the gather copy's HBM headroom.
+            use_mega=(mega_base
+                      and (mega == "on"
+                           or (geno.n_pad <= 65536
+                               and (copy_fits or schedule == "block")))))
         cfg = self.cfg
 
         gh_x, gh_w = gh_table(cfg.quad_n)
@@ -600,6 +641,20 @@ class BayesW:
             valid_g[sl] = 1.0
             sfail_g[sl] = sum_fail[s: s + l]
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
+        if cfg.schedule == "block":
+            # one-time decorrelating marker -> slot permutation (see
+            # bayesrrm.py: fixed window blocks must be random marker sets)
+            rs = np.random.RandomState((seed ^ 0x5EED1) & 0x7FFFFFFF)
+            for d in range(n_dev):
+                sl = slice(d * m_loc, (d + 1) * m_loc)
+                p = rs.permutation(m_loc)
+                packed_g[sl] = packed_g[sl][p]
+                groups_g[sl] = groups_g[sl][p]
+                mave_g[sl] = mave_g[sl][p]
+                msd_g[sl] = msd_g[sl][p]
+                valid_g[sl] = valid_g[sl][p]
+                sfail_g[sl] = sfail_g[sl][p]
+                slot_to_marker[sl] = slot_to_marker[sl][p]
         self.slot_to_marker = slot_to_marker
 
         max_ = marker_axes(cfg.n_dcn)

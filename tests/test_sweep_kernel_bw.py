@@ -17,9 +17,9 @@ from hydra_tpu.samplers.bayesw import BayesW
 from tests.test_bayesw import simulate_weibull
 
 
-def _mega_sampler(ds, window, seed, quad_points):
+def _mega_sampler(ds, window, seed, quad_points, schedule="auto"):
     s = BayesW(ds, window=window, seed=seed, mesh=make_mesh(1),
-               quad_points=quad_points)
+               quad_points=quad_points, schedule=schedule)
     s.cfg = dataclasses.replace(s.cfg, use_mega=True, interpret=True)
     s._step = s._build_step()
     s._multi = {}
@@ -27,10 +27,10 @@ def _mega_sampler(ds, window, seed, quad_points):
 
 
 def _compare(ds, window, seed=7, iters=3, quad_points=9,
-             beta_atol=5e-4):
+             beta_atol=5e-4, schedule="auto"):
     ref = BayesW(ds, window=window, seed=seed, mesh=make_mesh(1),
-                 quad_points=quad_points)
-    mega = _mega_sampler(ds, window, seed, quad_points)
+                 quad_points=quad_points, schedule=schedule)
+    mega = _mega_sampler(ds, window, seed, quad_points, schedule=schedule)
     assert not ref.cfg.use_mega            # CPU backend: XLA path
     sr = ref.init_state()
     sm = mega.init_state()
@@ -75,3 +75,11 @@ def test_bw_mega_matches_window_path_w8():
 def test_bw_mega_matches_window_path_censoring():
     ds, *_ = simulate_weibull(m=96, n=300, censor_frac=0.3, seed=11)
     _compare(ds, window=24)
+
+
+@pytest.mark.slow
+def test_bw_block_schedule_mega_matches_window_path():
+    """Block-schedule bw mega (win_perm prefetch, no gather) == the XLA
+    per-window path on the same composite schedule."""
+    ds, *_ = simulate_weibull(m=96, n=240, seed=31)
+    _compare(ds, window=32, schedule="block")
