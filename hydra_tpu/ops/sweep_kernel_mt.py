@@ -33,7 +33,7 @@ reference; see samplers/bayesrrm_mt.py module docstring).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -214,7 +214,9 @@ def _sweep_mt_kernel(K: int, T: int, n_tiles: int, complete: bool,
 def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
                    mrow: jax.Array, i_2se: jax.Array, dNm1: jax.Array, *,
                    window: int, n_mix: int, n_traits: int, complete: bool,
-                   tile_bytes: int = 0, vma=None, interpret: bool = False
+                   tile_bytes: int = 0,
+                   win_perm: Optional[jax.Array] = None,
+                   vma=None, interpret: bool = False
                    ) -> Tuple[jax.Array, jax.Array]:
     """Run a full multi-trait stale-window sweep in one kernel launch.
 
@@ -222,6 +224,11 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     (4T, NB) plane-major multi-trait residual / trait mask
     (deinterleave_mt); mrow: (m_loc, mt_mrow_width(K, T)) rows in the same
     order; i_2se / dNm1: (T,) per-trait scalars.
+
+    win_perm (block schedule): (n_windows,) int32 window permutation —
+    pk_shuf is then the UNSHUFFLED resident packed array and window rows
+    are DMA'd via a scalar-prefetch index map (no gather, no second HBM
+    copy; see ops/sweep_kernel.sweep_stale).
 
     Returns (eps_t', out) with out columns [bnew (T), compf (T), acum (T)]
     per shuffled marker.
@@ -254,25 +261,29 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
                 else jax.ShapeDtypeStruct(shape, f32))
 
+    if win_perm is None:
+        pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+    else:
+        # scalar-prefetch refs arrive AFTER the grid indices in index maps
+        pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+            pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), lambda w, p, t, *_: (w, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 2), lambda w, p, t: (0, 0),
+            pl.BlockSpec((T, 2), lambda w, p, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((o_pad, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((o_pad, W), lambda w, p, t, *_: (w, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -289,13 +300,21 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     # interpret is a valid golden reference; compiled Mosaic honors the
     # split and keeps the fast default (scripts/repro_mt.py).
     prec = jax.lax.Precision.HIGHEST if interpret else None
+    kern = functools.partial(_sweep_mt_kernel, n_mix, T, n_tiles, complete,
+                             o_pad, prec)
+    if win_perm is None:
+        operands = (pk_shuf, mrow_r, eps_r, tm_r, sc)
+        body = kern
+    else:
+        operands = (jnp.asarray(win_perm, jnp.int32),
+                    pk_shuf, mrow_r, eps_r, tm_r, sc)
+        body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_mt_kernel, n_mix, T, n_tiles, complete,
-                          o_pad, prec),
+        body,
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * o_pad, W)), sds((n_tiles, 4 * T, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow_r, eps_r, tm_r, sc)
+    )(*operands)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
     out2 = out.reshape(n_windows, o_pad, W)[:, :3 * T, :]
     return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 3 * T)

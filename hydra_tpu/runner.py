@@ -150,7 +150,8 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
     sampler = BayesRRmMT(ds, phenos, window=opt.window, exact=opt.exact,
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
                          n_devices=opt.n_devices, n_ind=opt.ind_shards,
-                         n_dcn=opt.dcn_slices, mega=opt.mega)
+                         n_dcn=opt.dcn_slices, mega=opt.mega,
+                         schedule=opt.schedule)
     start_it = 0
     if rds is not None:
         import jax.numpy as jnp

@@ -72,6 +72,8 @@ class MtConfig:
     n_ind: int = 1
     n_dcn: int = 1
     shuffle: bool = True
+    schedule: str = "marker"   # marker | block (stale only; see
+                               # bayesrrm.BayesRRmConfig.schedule)
     use_pallas: bool = False   # fused multi-trait window kernels (TPU)
     use_mega: bool = False     # whole-sweep mt mega-kernel (single shard)
     use_wmega: bool = False    # per-window fused mt kernels (multi-shard)
@@ -254,7 +256,15 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     mu = dist.norm_rng(site(_S_MU), epssum / dN, sigma_e / dN, (T,))
     eps = eps - mu[None, :] * trait_mask
 
-    if cfg.shuffle:
+    wperm = None
+    if cfg.schedule == "block" and cfg.shuffle:
+        # window-BLOCK shuffle (see bayesrrm.py); perm expands to the
+        # composite marker order for every non-kernel consumer
+        wperm = jax.random.permutation(
+            jax.random.fold_in(site(_S_PERM), dev), cfg.n_windows)
+        perm = (wperm[:, None] * W
+                + jnp.arange(W, dtype=wperm.dtype)).reshape(-1)
+    elif cfg.shuffle:
         perm = jax.random.permutation(
             jax.random.fold_in(site(_S_PERM), dev), cfg.m_loc)
     else:
@@ -479,7 +489,13 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         from hydra_tpu.ops.window_kernels import (deinterleave_mt,
                                                   interleave_mt)
 
-        pk_shuf = jnp.take(packed, perm, axis=0)
+        if cfg.schedule == "block" and not cfg.exact:
+            pk_shuf = packed     # kernel DMAs rows via the win_perm map
+            wp_arg = (wperm if wperm is not None
+                      else jnp.arange(cfg.n_windows, dtype=jnp.int32))
+        else:
+            pk_shuf = jnp.take(packed, perm, axis=0)
+            wp_arg = None
         mave_s = jnp.take(mave, perm, axis=0)          # (m, T)
         mstd_s = jnp.take(mstd, perm, axis=0)
         grp_s = jnp.take(groups, perm)
@@ -523,7 +539,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             eps_new_t, out_m = sweep_stale_mt(
                 pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
                 mrow, i_2se, dNm1, window=W, n_mix=cfg.k, n_traits=T,
-                complete=cfg.complete, vma=vma_axes,
+                complete=cfg.complete, win_perm=wp_arg, vma=vma_axes,
                 interpret=cfg.interpret)
         # identity on the single shard the mega is gated to, but marks the
         # residual replicated again for shard_map's vma checker
@@ -626,7 +642,8 @@ class BayesRRmMT:
                  window: int = 1, exact: bool = True, shuffle: bool = True,
                  seed: int = 0, mesh: Optional[Mesh] = None,
                  n_devices: int = 0, n_ind: int = 1, n_dcn: int = 1,
-                 mega: str = "auto", cross_sync: int = 0):
+                 mega: str = "auto", cross_sync: int = 0,
+                 schedule: str = "auto"):
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, n_ind=n_ind, n_dcn=n_dcn)
@@ -655,11 +672,32 @@ class BayesRRmMT:
             raise ValueError(
                 f"--cross-sync {cs} must divide the window ({window})")
         tpu_b = jax.default_backend() == "tpu"
+        mega_base_mt = (tpu_b and window >= 8
+                        and n_dev == 1 and n_ind == 1 and n_dcn == 1
+                        and mega != "off")
+        packed_bytes = m_loc * (geno.n_pad // 4)
+        copy_fits = 2.2 * packed_bytes < 14.5e9
+        if schedule not in ("auto", "marker", "block"):
+            raise ValueError(f"schedule must be auto/marker/block, "
+                             f"got {schedule!r}")
+        if schedule == "block" and exact_b:
+            print("INFO   : --schedule block needs stale windows — keeping "
+                  "the marker schedule (see bayesrrm.py)", flush=True)
+            schedule = "marker"
+        if schedule == "auto":
+            schedule = ("block" if (mega_base_mt and not exact_b
+                                    and T * geno.n_pad <= 262144
+                                    and not copy_fits
+                                    and packed_bytes + 1.5e9 < 15.5e9)
+                        else "marker")
+            if schedule == "block":
+                print("INFO   : big-M mt run — block schedule (mega without "
+                      "a second packed HBM copy)", flush=True)
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
-            n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle,
+            n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle, schedule=schedule,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
             # whole-sweep mt mega-kernels: single marker shard; VMEM-gated
@@ -667,11 +705,15 @@ class BayesRRmMT:
             # mega="on"/"off" overrides the auto N-gate like BayesRRm's.
             # Exact mode has its own mega (sweep_exact_mt), valid only on
             # complete genotypes + full phenotypes (trait-shared Gram)
+            # marker-schedule mega also needs HBM room for its per-sweep
+            # gather copy; the block schedule needs none (win_perm DMA)
             use_mega=(tpu_b and window >= 8
                       and (not exact_b or (complete_b and full_ph))
                       and n_dev == 1 and n_ind == 1 and n_dcn == 1
                       and mega != "off"
-                      and (mega == "on" or T * geno.n_pad <= 262144)),
+                      and (mega == "on"
+                           or (T * geno.n_pad <= 262144
+                               and (copy_fits or schedule == "block")))),
             # multi-shard: the same mt sweep kernels, ONE launch + ONE
             # residual psum per window (see bayesrrm use_wmega). Needs no
             # in-window collectives (stale, or exact with cs >= window).
@@ -746,6 +788,19 @@ class BayesRRmMT:
             mstd_g[sl] = mstd[s: s + l]
             valid_g[sl] = 1.0
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
+        if cfg.schedule == "block":
+            # one-time decorrelating marker -> slot permutation (see
+            # bayesrrm.py: fixed window blocks must be random marker sets)
+            rs = np.random.RandomState((seed ^ 0x5EED1) & 0x7FFFFFFF)
+            for d in range(n_dev):
+                sl = slice(d * m_loc, (d + 1) * m_loc)
+                pp = rs.permutation(m_loc)
+                packed_g[sl] = packed_g[sl][pp]
+                groups_g[sl] = groups_g[sl][pp]
+                mave_g[sl] = mave_g[sl][pp]
+                mstd_g[sl] = mstd_g[sl][pp]
+                valid_g[sl] = valid_g[sl][pp]
+                slot_to_marker[sl] = slot_to_marker[sl][pp]
         self.slot_to_marker = slot_to_marker
 
         max_ = marker_axes(cfg.n_dcn)

@@ -15,9 +15,9 @@ from hydra_tpu.samplers.bayesrrm_mt import BayesRRmMT
 from tests.test_bayesrrm_mt import simulate_mt
 
 
-def _mega_sampler(ds, phenos, window, seed):
+def _mega_sampler(ds, phenos, window, seed, schedule="auto"):
     s = BayesRRmMT(ds, phenos, window=window, exact=False,
-                   seed=seed, mesh=make_mesh(1))
+                   seed=seed, mesh=make_mesh(1), schedule=schedule)
     s.cfg = dataclasses.replace(s.cfg, use_mega=True, interpret=True)
     s._step = s._build_step()
     return s
@@ -36,11 +36,11 @@ def _states_close(sa, sb, atol=5e-4):
                                np.asarray(sb.sigma_g), rtol=1e-3, atol=1e-6)
 
 
-def _compare(ds, phenos, window, seed=7, iters=3):
+def _compare(ds, phenos, window, seed=7, iters=3, schedule="auto"):
     ref = BayesRRmMT(ds, phenos, window=window, exact=False,
-                     seed=seed, mesh=make_mesh(1))
+                     seed=seed, mesh=make_mesh(1), schedule=schedule)
     assert not ref.cfg.use_mega          # CPU backend: XLA path
-    mega = _mega_sampler(ds, phenos, window, seed)
+    mega = _mega_sampler(ds, phenos, window, seed, schedule=schedule)
     sr = ref.init_state()
     sm = mega.init_state()
     for it in range(iters):
@@ -120,3 +120,10 @@ def test_mt_mega_matches_window_path_missing_genotypes():
     assert gd.nm.sum() > 0
     ds = dc.replace(ds, geno=gd)
     _compare(ds, phenos, window=16)
+
+
+def test_mt_block_schedule_mega_matches_window_path():
+    """Block-schedule mt mega (win_perm prefetch, no gather) == the XLA
+    per-window path on the same composite schedule."""
+    ds, phenos, _ = simulate_mt(m=128, n=300, n_traits=3, seed=21)
+    _compare(ds, phenos, window=32, schedule="block")
