@@ -789,18 +789,17 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     individual mask (required iff complete=True).
 
     win_perm (block schedule): an (n_windows,) int32 window permutation.
-    When given, pk_shuf is the UNSHUFFLED resident packed array and window
-    w's rows are DMA'd directly from row-block win_perm[w] via a scalar-
-    prefetch index map — no second (m_loc, NB) HBM copy and no per-sweep
-    gather, which is what frees the mega kernel from its 2.2x-packed HBM
-    headroom gate at large M. mrow/out stay in COMPOSITE order (window w
-    holds markers [win_perm[w]*W, ...+W)); the caller gathers mrow with
-    the expanded permutation and scatters out with it, exactly as in
-    marker-schedule mode. Stale-window semantics are unchanged — within a
-    window every marker reads the same frozen residual, so only the
-    window PARTITION differs from the per-marker shuffle (a valid
-    systematic-scan Gibbs schedule; samplers/bayesrrm.py::BayesRRmConfig
-    docs the bias story).
+    When given, pk_shuf, mrow AND the returned out are all in SLOT order —
+    window w's packed rows and marker rows are DMA'd directly from
+    row-block win_perm[w] via scalar-prefetch index maps, and its outputs
+    are written back to block win_perm[w]. The caller does NO per-sweep
+    gather or scatter at all (no second (m_loc, NB) HBM copy either),
+    which is what frees the mega kernel from its 2.2x-packed HBM headroom
+    gate at large M and removes the m_loc-length take/scatter glue.
+    Stale-window semantics are unchanged — within a window every marker
+    reads the same frozen residual, so only the window PARTITION differs
+    from the per-marker shuffle (a valid systematic-scan Gibbs schedule;
+    samplers/bayesrrm.py::BayesRRmConfig docs the bias story).
 
     Returns (eps_d', out) with out columns [beta_new, comp, acum0, dbeta]
     per shuffled marker.
@@ -841,16 +840,19 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     nmt = mask_t.shape[0]
     if win_perm is None:
         pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+        row_map = lambda w, p, t: (w, 0)                      # noqa: E731
     else:
-        # scalar-prefetch refs arrive AFTER the grid indices in index maps
+        # scalar-prefetch refs arrive AFTER the grid indices in index maps;
+        # pk, mrow and out all live in SLOT order and are block-addressed
+        # through the window permutation
         pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
+        row_map = lambda w, p, t, wp: (wp[w], 0)              # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
             pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t, *_: (w, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nmt, 4, tb), lambda w, p, t, *_: (0, 0, 0),
@@ -858,8 +860,7 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, W), lambda w, p, t, *_: (w, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

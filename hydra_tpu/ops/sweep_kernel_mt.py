@@ -226,9 +226,9 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
     order; i_2se / dNm1: (T,) per-trait scalars.
 
     win_perm (block schedule): (n_windows,) int32 window permutation —
-    pk_shuf is then the UNSHUFFLED resident packed array and window rows
-    are DMA'd via a scalar-prefetch index map (no gather, no second HBM
-    copy; see ops/sweep_kernel.sweep_stale).
+    pk_shuf, mrow and the returned out are then all in SLOT order, block-
+    addressed through the permutation (no gather, no scatter, no second
+    HBM copy; see ops/sweep_kernel.sweep_stale).
 
     Returns (eps_t', out) with out columns [bnew (T), compf (T), acum (T)]
     per shuffled marker.
@@ -263,16 +263,18 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
 
     if win_perm is None:
         pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+        row_map = lambda w, p, t: (w, 0)                      # noqa: E731
     else:
-        # scalar-prefetch refs arrive AFTER the grid indices in index maps
+        # scalar-prefetch refs arrive AFTER the grid indices in index maps;
+        # pk, mrow and out all live in SLOT order (sweep_stale docstring)
         pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
+        row_map = lambda w, p, t, wp: (wp[w], 0)              # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
             pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t, *_: (w, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
@@ -281,8 +283,7 @@ def sweep_stale_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((o_pad, W), lambda w, p, t, *_: (w, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_pad, W), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -665,17 +665,29 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         km1 = cfg.k - 1
-        mave_s = jnp.take(mave, perm)
-        mstd_s = jnp.take(mstd, perm)
-        grp_s = jnp.take(groups, perm)
-        act_s = jnp.take(active_all, perm).astype(f32)
-        bold_s = jnp.take(beta, perm)
-        u_s = jnp.take(u_loc, perm)
-        n_s = jnp.take(n_loc, perm)
+        # block-schedule whole-sweep path: mrow, pk and out all stay in
+        # SLOT order — the kernel block-addresses them through the window
+        # permutation (sweep_stale win_perm docstring) — so the m_loc-long
+        # per-sweep gathers here and the scatters below vanish entirely
+        blockslot = (cfg.schedule == "block" and cfg.use_mega
+                     and not cfg.exact and not cfg.use_wmega)
+        if blockslot:
+            mave_s, mstd_s, grp_s = mave, mstd, groups
+            act_s = active_all.astype(f32)
+            bold_s, u_s, n_s = beta, u_loc, n_loc
+        else:
+            mave_s = jnp.take(mave, perm)
+            mstd_s = jnp.take(mstd, perm)
+            grp_s = jnp.take(groups, perm)
+            act_s = jnp.take(active_all, perm).astype(f32)
+            bold_s = jnp.take(beta, perm)
+            u_s = jnp.take(u_loc, perm)
+            n_s = jnp.take(n_loc, perm)
         log_pi_s = jnp.log(jnp.maximum(est_pi[grp_s], tiny))     # (m, K)
         if cfg.fh:
-            lam_s = jnp.take(lam, perm)
-            nu_w_s = (cfg.v0L / lam_s + 1.0) / jnp.take(g_nu, perm)
+            lam_s = lam if blockslot else jnp.take(lam, perm)
+            g_nu_s = g_nu if blockslot else jnp.take(g_nu, perm)
+            nu_w_s = (cfg.v0L / lam_s + 1.0) / g_nu_s
             csl_s = state.c_slab[grp_s]
             lamt_s = state.tau * csl_s / (state.tau + csl_s * lam_s)
             lamt_s = jnp.maximum(lamt_s, tiny)
@@ -790,9 +802,12 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         comp_s = out_m[:, 1].astype(jnp.int32)
         acum_s = out_m[:, 2]
         dbeta_s = out_m[:, 3]
-        beta = beta.at[perm].set(bnew_s)
-        comps = comps.at[perm].set(comp_s)
-        acum = acum.at[perm].set(acum_s)
+        if blockslot:      # out already in slot order: no scatter
+            beta, comps, acum = bnew_s, comp_s, acum_s
+        else:
+            beta = beta.at[perm].set(bnew_s)
+            comps = comps.at[perm].set(comp_s)
+            acum = acum.at[perm].set(acum_s)
         cass = cass0 + jax.ops.segment_sum(
             act_s, grp_s * cfg.k + comp_s,
             num_segments=cfg.num_groups * cfg.k
@@ -800,8 +815,12 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         sum_abs_db = jax.lax.psum(jnp.sum(jnp.abs(dbeta_s)), ma)
         if cfg.fh:
             rate = 0.5 * bnew_s * bnew_s / state.tau + cfg.v0L / nu_w_s
-            lam = lam.at[perm].set(rate / jnp.take(g_lam, perm))
-            nu = nu.at[perm].set(nu_w_s)
+            if blockslot:
+                lam = rate / g_lam
+                nu = nu_w_s
+            else:
+                lam = lam.at[perm].set(rate / jnp.take(g_lam, perm))
+                nu = nu.at[perm].set(nu_w_s)
     else:
         # this shard's real-individual count, for the exact+complete
         # integer-Gram correction (linear -> psum-safe under ind shards)

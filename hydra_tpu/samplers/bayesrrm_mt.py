@@ -489,20 +489,27 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         from hydra_tpu.ops.window_kernels import (deinterleave_mt,
                                                   interleave_mt)
 
-        if cfg.schedule == "block" and not cfg.exact:
-            pk_shuf = packed     # kernel DMAs rows via the win_perm map
+        blockslot = cfg.schedule == "block" and not cfg.exact
+        if blockslot:
+            # pk, mrow and out all stay in SLOT order; the kernel block-
+            # addresses them through the window permutation (sweep_stale_mt
+            # docstring) — no per-sweep gather or scatter at all
+            pk_shuf = packed
             wp_arg = (wperm if wperm is not None
                       else jnp.arange(cfg.n_windows, dtype=jnp.int32))
+            mave_s, mstd_s, grp_s = mave, mstd, groups
+            act_s = act_mt.astype(f32)
+            bold_s, u_s, n_s = beta, u_loc, n_loc
         else:
             pk_shuf = jnp.take(packed, perm, axis=0)
             wp_arg = None
-        mave_s = jnp.take(mave, perm, axis=0)          # (m, T)
-        mstd_s = jnp.take(mstd, perm, axis=0)
-        grp_s = jnp.take(groups, perm)
-        act_s = jnp.take(act_mt, perm, axis=0).astype(f32)
-        bold_s = jnp.take(beta, perm, axis=0)
-        u_s = jnp.take(u_loc, perm, axis=0)
-        n_s = jnp.take(n_loc, perm, axis=0)
+            mave_s = jnp.take(mave, perm, axis=0)      # (m, T)
+            mstd_s = jnp.take(mstd, perm, axis=0)
+            grp_s = jnp.take(groups, perm)
+            act_s = jnp.take(act_mt, perm, axis=0).astype(f32)
+            bold_s = jnp.take(beta, perm, axis=0)
+            u_s = jnp.take(u_loc, perm, axis=0)
+            n_s = jnp.take(n_loc, perm, axis=0)
         sig_g_s = jnp.transpose(sigma_g, (1, 0))[grp_s]        # (m, T)
         cva_s = cva[grp_s][:, None, 1:]                        # (m, 1, km1)
         cvai_s = cvai[grp_s][:, None, 1:]
@@ -547,9 +554,12 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         bnew_s = out_m[:, :T]
         comp_s = out_m[:, T:2 * T].astype(jnp.int32)
         acum_s = out_m[:, 2 * T:3 * T]
-        beta = beta.at[perm].set(bnew_s)
-        comps = comps.at[perm].set(comp_s)
-        acum = acum.at[perm].set(acum_s)
+        if blockslot:      # out already in slot order: no scatter
+            beta, comps, acum = bnew_s, comp_s, acum_s
+        else:
+            beta = beta.at[perm].set(bnew_s)
+            comps = comps.at[perm].set(comp_s)
+            acum = acum.at[perm].set(acum_s)
         flat = (grp_s[:, None] * cfg.k + comp_s).reshape(-1)
         trait_ids = jnp.broadcast_to(
             jnp.arange(T)[None, :], (cfg.m_loc, T)).reshape(-1)

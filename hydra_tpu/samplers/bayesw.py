@@ -422,22 +422,31 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         from hydra_tpu.ops.window_kernels import deinterleave, interleave
 
         n_shrink, n_expand = N_SHRINK, N_EXPAND
-        if cfg.schedule == "block":
-            pk_shuf = packed     # kernel DMAs rows via the win_perm map
+        blockslot = cfg.schedule == "block"
+        if blockslot:
+            # pk, mrow and out all stay in SLOT order; the kernel block-
+            # addresses them through the window permutation (sweep_stale_bw
+            # docstring) — no per-sweep gather or scatter at all
+            pk_shuf = packed
             wp_arg = (wperm if wperm is not None
                       else jnp.arange(cfg.n_windows, dtype=jnp.int32))
+            mave_s, sd_s = mave, msd
+            act_s = (valid > 0) & (sd_s > 0)
+            sf_s, grp_s, bold_s = sum_fail, groups, beta
+            slot_ids = off + jnp.arange(cfg.m_loc)
         else:
             pk_shuf = jnp.take(packed, perm, axis=0)
             wp_arg = None
-        mave_s = jnp.take(mave, perm)
-        sd_s = jnp.take(msd, perm)
-        act_s = (jnp.take(valid, perm) > 0) & (sd_s > 0)
+            mave_s = jnp.take(mave, perm)
+            sd_s = jnp.take(msd, perm)
+            act_s = (jnp.take(valid, perm) > 0) & (sd_s > 0)
+            sf_s = jnp.take(sum_fail, perm)
+            grp_s = jnp.take(groups, perm)
+            bold_s = jnp.take(beta, perm)
+            slot_ids = off + perm
         inv_sd_s = jnp.where(act_s, 1.0 / jnp.maximum(sd_s, 1e-30), 0.0)
-        sf_s = jnp.take(sum_fail, perm)
-        grp_s = jnp.take(groups, perm)
-        bold_s = jnp.take(beta, perm)
         keys_s = jax.vmap(
-            lambda i: jax.random.fold_in(marker_site, i))(off + perm)
+            lambda i: jax.random.fold_in(marker_site, i))(slot_ids)
         u_s = jax.vmap(lambda k: jax.random.uniform(k, (), f32))(keys_s)
 
         # slice RNG: PER-MARKER schedules keyed by global slot id — the
@@ -490,8 +499,11 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         eps = jax.lax.psum(interleave(eps_new_d), ma)
         bnew_s = out_m[:, 0]
         comp_s = out_m[:, 1].astype(jnp.int32)
-        beta = beta.at[perm].set(bnew_s)
-        comps = comps.at[perm].set(comp_s)
+        if blockslot:      # out already in slot order: no scatter
+            beta, comps = bnew_s, comp_s
+        else:
+            beta = beta.at[perm].set(bnew_s)
+            comps = comps.at[perm].set(comp_s)
         cass = cass0 + jax.ops.segment_sum(
             act_s.astype(f32), grp_s * cfg.k + comp_s,
             num_segments=cfg.num_groups * cfg.k

@@ -24,13 +24,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_chain(ds, window, exact, iters, burn, seed=101):
+def run_chain(ds, window, exact, iters, burn, seed=101, schedule="auto"):
     import jax
     from hydra_tpu.parallel.mesh import make_mesh
     from hydra_tpu.samplers.bayesrrm import BayesRRm
 
     sampler = BayesRRm(ds, window=window, exact=exact, seed=seed,
-                       mesh=make_mesh(1))
+                       mesh=make_mesh(1), schedule=schedule)
     state = sampler.init_state()
     h2s, m0s = [], []
     t0 = time.time()
@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--iters", type=int, default=1200)
     ap.add_argument("--burn", type=int, default=400)
     ap.add_argument("--windows", default="1,8,64,256,1024")
+    ap.add_argument("--schedules", default="marker",
+                    help="comma-separated schedules to sweep per window "
+                         "(marker,block — quantifies the block schedule's "
+                         "fixed-partition relaxation)")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--out", default="")
     ap.add_argument("--device", default="")
@@ -78,10 +82,13 @@ def main():
         print(json.dumps(r), flush=True)
         results.append(r)
     for w in [int(x) for x in args.windows.split(",") if x]:
-        r = run_chain(ds, w, False, args.iters, args.burn)
-        r["label"] = f"stale W={w}"
-        print(json.dumps(r), flush=True)
-        results.append(r)
+        for sched in [x for x in args.schedules.split(",") if x]:
+            r = run_chain(ds, w, False, args.iters, args.burn,
+                          schedule=sched)
+            r["label"] = (f"stale W={w}" if sched == "marker"
+                          else f"stale W={w} ({sched})")
+            print(json.dumps(r), flush=True)
+            results.append(r)
 
     if args.out:
         with open(args.out, "w") as fh:
