@@ -1025,19 +1025,24 @@ class BayesRRm:
                   "marker order) — keeping the marker schedule", flush=True)
             schedule = "marker"
         if schedule == "auto":
-            # block only where the marker-schedule mega is HBM-gated off
-            # (big M: the per-sweep gather's second packed copy does not
-            # fit). Everywhere else keep reference marker semantics.
+            # Stale runs default to the block schedule wherever the mega
+            # kernel can host it: hardware-measured 1.4-1.7x+ (no per-sweep
+            # packed gather, no m_loc gathers/scatters; M=1M runs at the
+            # bare-kernel 35 us/window) with h2 posterior shifts of
+            # 0.002-0.008 across seeds — inside chain noise and below the
+            # stale relaxation's own W=1024 shift (BIAS_SWEEP_SCHED.md).
+            # --schedule marker restores the reference's per-sweep marker
+            # permutation. Exact mode (the faithful default) always uses
+            # marker.
             block_fit = packed_bytes + 1.5e9 < 15.5e9
             schedule = ("block" if (not exact and mega_ok and window >= 8
                                     and mega != "off" and not forced_planes
-                                    and not mega_auto and block_fit)
+                                    and block_fit)
                         else "marker")
             if schedule == "block":
-                print("INFO   : big-M stale run — using the block schedule "
-                      "so the whole-sweep mega kernel runs without a second "
-                      "packed HBM copy (--schedule marker restores the "
-                      "per-marker shuffle on the per-window path)",
+                print("INFO   : stale run — block schedule (whole-sweep "
+                      "kernel streams windows in place; --schedule marker "
+                      "restores the reference's per-sweep marker shuffle)",
                       flush=True)
         use_mega = (mega_ok and mega != "off" and not forced_planes
                     and (mega == "on" or mega_auto or schedule == "block"))

@@ -695,14 +695,16 @@ class BayesRRmMT:
                   "the marker schedule (see bayesrrm.py)", flush=True)
             schedule = "marker"
         if schedule == "auto":
+            # stale mt defaults to block wherever the mt mega can host it
+            # (BIAS_SWEEP_SCHED.md h2 evidence; exact mt keeps marker)
             schedule = ("block" if (mega_base_mt and not exact_b
                                     and T * geno.n_pad <= 262144
-                                    and not copy_fits
                                     and packed_bytes + 1.5e9 < 15.5e9)
                         else "marker")
             if schedule == "block":
-                print("INFO   : big-M mt run — block schedule (mega without "
-                      "a second packed HBM copy)", flush=True)
+                print("INFO   : mt block schedule (whole-sweep kernel "
+                      "streams windows in place; --schedule marker restores "
+                      "the per-sweep marker shuffle)", flush=True)
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,

@@ -581,16 +581,16 @@ class BayesW:
             raise ValueError(f"schedule must be auto/marker/block, "
                              f"got {schedule!r}")
         if schedule == "auto":
-            # block only where the marker-schedule mega cannot fit the
-            # gather copy (BayesW windows are stale, so block is always
-            # semantically admissible; see BayesRRmConfig.schedule)
+            # stale-by-construction windows: default to the block schedule
+            # wherever the bw mega can host it (BIAS_SWEEP_SCHED.md h2
+            # evidence; no gather, no second packed HBM copy)
             schedule = ("block" if (mega_base and geno.n_pad <= 65536
-                                    and not copy_fits
                                     and packed_bytes + 1.5e9 < 15.5e9)
                         else "marker")
             if schedule == "block":
-                print("INFO   : big-M BayesW run — block schedule (mega "
-                      "without a second packed HBM copy)", flush=True)
+                print("INFO   : BayesW block schedule (whole-sweep kernel "
+                      "streams windows in place; --schedule marker restores "
+                      "the per-sweep marker shuffle)", flush=True)
         self.cfg = BayesWConfig(
             n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
             n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
