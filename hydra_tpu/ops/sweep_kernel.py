@@ -533,6 +533,7 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
                 mcol: jax.Array, i_2se, dNm1, *, window: int, n_mix: int,
                 complete: bool = False,
                 ind_mask4: Optional[jax.Array] = None, tile_bytes: int = 0,
+                win_perm: Optional[jax.Array] = None,
                 vma=None, interpret: bool = False
                 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full EXACT-mode Gibbs sweep in one kernel launch.
@@ -543,6 +544,14 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     Single marker shard only. mcol: (m_loc, 2) = [mave, mstd] columns in
     the same shuffled order as pk_shuf/mrow. complete=True enables the
     integer-Gram fast path (no missing genotypes; see the kernel).
+
+    win_perm (explicit --schedule block with exact mode): pk_shuf, mrow,
+    mcol and the returned out are all in SLOT order, block-addressed
+    through the window permutation (sweep_stale docstring). The chain
+    stays EXACT sequential Gibbs — full conditionals, zero relaxation
+    bias — but the processing order becomes W-dependent, so the
+    cross-window-width invariance (W=1 == W=N chains) no longer holds;
+    the sampler only honors this under an explicit user request.
 
     Returns (eps_d', out) with out columns [beta_new, comp, acum0, dbeta].
     """
@@ -576,26 +585,31 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
                 else jax.ShapeDtypeStruct(shape, f32))
 
+    if win_perm is None:
+        pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+        row_map = lambda w, p, t: (w, 0)                      # noqa: E731
+    else:
+        # scalar-prefetch refs arrive AFTER the grid indices in index maps;
+        # pk, mrow, mcol and out all live in SLOT order (docstring)
+        pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
+        row_map = lambda w, p, t, wp: (wp[w], 0)              # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+            pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 2), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, 2), lambda w, p, t: (w, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_t.shape[0], 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((mask_t.shape[0], 4, tb),
+                         lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, W), lambda w, p, t: (w, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((8, W), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -606,13 +620,21 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pltpu.VMEM((W, 1), f32),    # v = sum(g) (complete mode)
         ],
     )
+    kern = functools.partial(_sweep_exact_kernel, n_mix, n_tiles, complete,
+                             jax.lax.Precision.HIGHEST if interpret else None)
+    if win_perm is None:
+        operands = (pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
+        body = kern
+    else:
+        operands = (jnp.asarray(win_perm, jnp.int32),
+                    pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
+        body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_exact_kernel, n_mix, n_tiles, complete,
-                          jax.lax.Precision.HIGHEST if interpret else None),
+        body,
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * 8, W)), sds((n_tiles, 4, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
+    )(*operands)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4, NB)
     out4 = out.reshape(n_windows, 8, W)[:, :4, :]
     # out rows: [beta_new, comp, acum, dbeta] -> columns per marker

@@ -670,7 +670,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
         # permutation (sweep_stale win_perm docstring) — so the m_loc-long
         # per-sweep gathers here and the scatters below vanish entirely
         blockslot = (cfg.schedule == "block" and cfg.use_mega
-                     and not cfg.exact and not cfg.use_wmega)
+                     and not cfg.use_wmega)
         if blockslot:
             mave_s, mstd_s, grp_s = mave, mstd, groups
             act_s = active_all.astype(f32)
@@ -750,15 +750,25 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             eps_d, out_m = jax.lax.fori_loop(
                 0, cfg.n_windows, wbody, (deinterleave(eps), out0))
             eps = interleave(eps_d)
-        elif cfg.schedule == "block" and not cfg.exact and cfg.use_mega:
+        elif blockslot:
             # block schedule: NO gather — the kernel DMAs window rows from
-            # the resident packed array through the win_perm prefetch map
-            eps_new_d, out_m = sweep_stale(
-                packed, deinterleave(eps), mrow, i_2se, dNm1,
-                window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
-                ind_mask4=mask4, win_perm=wperm if wperm is not None
-                else jnp.arange(cfg.n_windows, dtype=jnp.int32),
-                vma=vma_axes, interpret=cfg.interpret)
+            # the resident packed array through the win_perm prefetch map;
+            # mrow (and mcol for exact) stay in slot order
+            wp_arg = (wperm if wperm is not None
+                      else jnp.arange(cfg.n_windows, dtype=jnp.int32))
+            if cfg.exact:
+                mcol = jnp.stack([mave_s, mstd_s], axis=1)
+                eps_new_d, out_m = sweep_exact(
+                    packed, deinterleave(eps), mrow, mcol, i_2se, dNm1,
+                    window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                    ind_mask4=mask4, win_perm=wp_arg,
+                    vma=vma_axes, interpret=cfg.interpret)
+            else:
+                eps_new_d, out_m = sweep_stale(
+                    packed, deinterleave(eps), mrow, i_2se, dNm1,
+                    window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
+                    ind_mask4=mask4, win_perm=wp_arg,
+                    vma=vma_axes, interpret=cfg.interpret)
             eps = jax.lax.psum(interleave(eps_new_d), ma)
         else:
             pk_shuf = jnp.take(packed, perm, axis=0)
@@ -1020,10 +1030,15 @@ class BayesRRm:
             raise ValueError(f"schedule must be auto/marker/block, "
                              f"got {schedule!r}")
         if schedule == "block" and exact:
-            print("INFO   : --schedule block needs stale windows (exact "
-                  "mode's window-invariance requires a window-agnostic "
-                  "marker order) — keeping the marker schedule", flush=True)
-            schedule = "marker"
+            # honored (the chain stays EXACT sequential Gibbs — zero
+            # relaxation bias), but the processing order becomes
+            # W-dependent, so W=1 == W=N chain equality no longer holds;
+            # auto never selects this combination
+            print("INFO   : exact mode with --schedule block: the chain "
+                  "keeps exact sequential-Gibbs semantics, but the "
+                  "window-width invariance (identical chains for any "
+                  "--window) is waived — the scan order now depends on "
+                  "the window partition", flush=True)
         if schedule == "auto":
             # Stale runs default to the block schedule wherever the mega
             # kernel can host it: hardware-measured 1.4-1.7x+ (no per-sweep

@@ -319,8 +319,33 @@ def test_block_schedule_differs_from_marker_but_recovers():
     assert float(np.asarray(st.sigma_g).sum()) > 0
 
 
-def test_block_schedule_exact_falls_back_to_marker():
+def test_block_schedule_exact_is_honored_and_matches_window_path():
+    """Explicit exact + block: the chain stays EXACT sequential Gibbs on
+    the composite schedule (window-width invariance is waived, chain
+    equality between mega and per-window paths is not)."""
     ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=5)
     s = BayesRRm(ds, window=32, exact=True, seed=7, mesh=make_mesh(1),
                  schedule="block")
+    assert s.cfg.schedule == "block"
+
+    ref = BayesRRm(ds, window=32, exact=True, seed=7, mesh=make_mesh(1),
+                   schedule="block")
+    mega = BayesRRm(ds, window=32, exact=True, seed=7, mesh=make_mesh(1),
+                    schedule="block")
+    mega.cfg = dataclasses.replace(mega.cfg, use_mega=True, interpret=True)
+    mega._step = mega._build_step()
+    mega._multi = {}
+    assert not ref.cfg.use_mega
+    sr = ref.init_state()
+    sm = mega.init_state()
+    for it in range(3):
+        sr, _ = ref.step(sr, it)
+        sm, _ = mega.step(sm, it)
+    _states_close(sr, sm)
+
+
+def test_block_schedule_auto_stays_marker_for_exact():
+    ds, _, _ = simulate(m=128, n=300, h2=0.5, seed=5)
+    s = BayesRRm(ds, window=32, exact=True, seed=7, mesh=make_mesh(1),
+                 schedule="auto")
     assert s.cfg.schedule == "marker"
