@@ -277,6 +277,7 @@ def run_mt_bench(ds, args, n_traits=4):
     rs = np.random.RandomState(7)
     ph = np.tile(ds.y, (n_traits, 1)) + rs.randn(n_traits, ds.n) * 0.3
     sampler = BayesRRmMT(ds, ph, window=args.window, exact=args.exact,
+                         schedule=args.schedule,
                          seed=17, mesh=make_mesh(1), mega=args.mega)
     if args.exact:
         print("# mt exact (Gram-corrected) mode", file=sys.stderr, flush=True)
