@@ -82,7 +82,7 @@ def bw_mrow_width(k: int, n_shrink: int) -> int:
 
 
 def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
-                     complete: bool, PREC,
+                     complete: bool, PREC, W_narrow: int, wp_ref,
                      pk_ref, mrow_ref, eps_in_ref, vi_in_ref, mask_ref,
                      ghx_ref, ghw_ref, sc_ref,
                      out_ref, eps_ref,
@@ -97,10 +97,25 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
         eps_ref[t] = eps_in_ref[t]
         vi_s[t] = vi_in_ref[t]
 
-    pk32 = pk_ref[:, :].astype(jnp.int32)          # (W, tb)
+    def _pk32():
+        if not W_narrow:
+            return pk_ref[:, :].astype(jnp.int32)  # (W, tb)
+        # W = 1 (the exact-sequential mode): Mosaic requires pk blocks with
+        # >= 8 sublanes, so the block holds the 8-row slab containing this
+        # marker and the row is selected by an arithmetic one-hot sum over
+        # sublanes (no dynamic slice; must run INSIDE the pl.when phase
+        # bodies — the cond unifies the iota constant's varying-manual-axes
+        # mark with the refs' in interpret mode)
+        wslot = w if wp_ref is None else wp_ref[w]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        oh = jnp.where(rows == wslot % 8, 1, 0)
+        return jnp.sum(pk_ref[:, :].astype(jnp.int32) * oh, axis=0,
+                       keepdims=True)              # (1, tb)
 
     @pl.when(ph == 0)
     def _levels():
+        pk32 = _pk32()
+
         @pl.when(t == 0)
         def _():
             s1_s[:, :] = jnp.zeros_like(s1_s)
@@ -277,6 +292,7 @@ def _sweep_bw_kernel(K: int, n_tiles: int, n_expand: int, n_shrink: int,
 
     @pl.when(ph == 1)
     def _axpy_refresh():
+        pk32 = _pk32()
         alpha = sc_ref[0, 0]
         c1h = c_s[0:1, :]
         c1l = c_s[1:2, :]
@@ -340,6 +356,10 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
         (mrow.shape, n_mix, n_shrink)
     assert m_loc % window == 0, (m_loc, window)
     W = window
+    narrow = W if W == 1 else 0         # exact-sequential W=1 mode
+    assert W == 1 or W >= 8, W          # Mosaic sublane rule (see narrow)
+    if narrow:
+        assert m_loc % 8 == 0, m_loc
     n_windows = m_loc // W
     tb = tile_bytes if tile_bytes else _auto_tile(NB, W, 3.0)
     n_tiles = NB // tb
@@ -368,18 +388,27 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
                 else jax.ShapeDtypeStruct(shape, f32))
 
     if win_perm is None:
-        pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+        if narrow:
+            # pk blocks need >= 8 sublanes: fetch the 8-row slab holding
+            # this window (the kernel selects the W rows by sublane slice)
+            pk_map = lambda w, p, t: ((w * W) // 8, t)        # noqa: E731
+        else:
+            pk_map = lambda w, p, t: (w, t)                   # noqa: E731
         row_map = lambda w, p, t: (w, 0)                      # noqa: E731
     else:
         # scalar-prefetch refs arrive AFTER the grid indices in index maps;
         # pk, mrow and out all live in SLOT order (sweep_stale docstring)
-        pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
+        if narrow:
+            pk_map = lambda w, p, t, wp: ((wp[w] * W) // 8, t)  # noqa: E731
+        else:
+            pk_map = lambda w, p, t, wp: (wp[w], t)           # noqa: E731
         row_map = lambda w, p, t, wp: (wp[w], 0)              # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 if narrow else W, tb), pk_map,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((c_pad, W), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -410,14 +439,15 @@ def sweep_stale_bw(pk_shuf: jax.Array, eps_d: jax.Array, vi_d: jax.Array,
     )
     kern = functools.partial(_sweep_bw_kernel, n_mix, n_tiles, n_expand,
                              n_shrink, complete,
-                             jax.lax.Precision.HIGHEST if interpret else None)
+                             jax.lax.Precision.HIGHEST if interpret else None,
+                             narrow)
     if win_perm is None:
         operands = (pk_shuf, mrow_t, eps_t, vi_t, mask_t, ghx_c, ghw_c, sc)
-        body = kern
+        body = functools.partial(kern, None)
     else:
         operands = (jnp.asarray(win_perm, jnp.int32),
                     pk_shuf, mrow_t, eps_t, vi_t, mask_t, ghx_c, ghw_c, sc)
-        body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
+        body = lambda wp_ref, *refs: kern(wp_ref, *refs)      # noqa: E731
     out, eps_out = pl.pallas_call(
         body,
         grid_spec=grid_spec,

@@ -569,7 +569,13 @@ class BayesW:
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
-        mega_base = (jax.default_backend() == "tpu" and window >= 8
+        # window >= 1: the whole-sweep kernel is legal at ANY width —
+        # W=1 runs EXACT sequential BayesW (level sums + draw + vi refresh
+        # per marker; probed equal to the W=1 XLA window path, and the only
+        # viable exact route: the per-window path pays ~90 us glue per
+        # window, i.e. ~9 s/sweep at M=100K for W=1)
+        mega_base = (jax.default_backend() == "tpu"
+                     and (window >= 8 or window == 1)
                      and n_dev == 1 and n_ind == 1 and n_dcn == 1
                      and mega != "off")
         packed_bytes = m_loc * (geno.n_pad // 4)

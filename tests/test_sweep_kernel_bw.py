@@ -83,3 +83,14 @@ def test_bw_block_schedule_mega_matches_window_path():
     per-window path on the same composite schedule."""
     ds, *_ = simulate_weibull(m=96, n=240, seed=31)
     _compare(ds, window=32, schedule="block")
+
+
+@pytest.mark.slow
+def test_bw_mega_w1_exact_sequential():
+    """window=1 mega == the W=1 XLA window path: EXACT sequential BayesW
+    (level sums + draw + vi refresh per marker). This is the only viable
+    exact-BayesW route on TPU — the per-window path pays ~90 us of glue
+    per window (~9 s/sweep at M=100K for W=1) — so the mega gate admits
+    W=1 and this pins its semantics."""
+    ds, *_ = simulate_weibull(m=48, n=240, seed=13)
+    _compare(ds, window=1, quad_points=9)
