@@ -161,8 +161,9 @@ class Options:
             # staleness trade-off (options.cpp:213-216) but no guard.
             print(f"WARNING: --window {self.window} > 64 for bayesWMPI: "
                   "stale windows this wide measurably bias the alpha/m0 "
-                  "posterior (BIAS_SWEEP_BW.md); keep BayesW windows <= 64",
-                  flush=True)
+                  "posterior (BIAS_SWEEP_BW.md); keep BayesW windows <= 64 "
+                  "(--window 1 runs EXACT sequential BayesW via the W=1 "
+                  "whole-sweep kernel)", flush=True)
         if self.mcmc_out_dir:
             os.makedirs(self.mcmc_out_dir, exist_ok=True)
             os.makedirs(os.path.join(self.mcmc_out_dir, "tarballs"), exist_ok=True)

@@ -284,8 +284,12 @@ def apply_restart_rng(opt: Options, rd) -> None:
             print(f"WARNING: restart with --window {opt.window} but the chain "
                   f"was saved with window {rd.rng_window}; the restarted chain "
                   f"will not reproduce the uninterrupted one", flush=True)
-    if rd.rng_exact is not None and rd.rng_exact != opt.exact:
-        print(f"WARNING: restart with exact={opt.exact} but the chain was "
+    # BayesW has no --exact switch: exactness there IS window == 1 (the
+    # W=1 mega kernel), which is what its writer records
+    eff_exact = (opt.window == 1 if opt.bayes_type == "bayesWMPI"
+                 else opt.exact)
+    if rd.rng_exact is not None and rd.rng_exact != eff_exact:
+        print(f"WARNING: restart with exact={eff_exact} but the chain was "
               f"saved with exact={rd.rng_exact}; the restarted chain will "
               f"not reproduce the uninterrupted one", flush=True)
 

@@ -48,7 +48,10 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
     writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups, ds.mS.shape[1],
                         opt.thin, opt.save, opt.seed,
                         covariates=opt.covariates, survival=True,
-                        window=opt.window, exact=False)
+                        # window=1 IS exact sequential BayesW (level sums +
+                        # draw + vi refresh per marker; the W=1 mega kernel
+                        # makes it affordable) — record it as such
+                        window=opt.window, exact=(opt.window == 1))
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     stats = None

@@ -404,3 +404,27 @@ def test_bed_to_sparse_cli(tmp_path):
     from hydra_tpu.io.sparse import read_sparse_files
     sp = read_sparse_files(base)
     assert (sp.n, sp.m) == (40, 25)
+
+
+def test_cli_bayesw_w1_exact_flag(tmp_path):
+    """--window 1 = exact sequential BayesW; the .rng.0 state records
+    exact=true so restarts validate against the right schedule (on TPU the
+    W=1 whole-sweep kernel makes this affordable; here the XLA path runs
+    the same chain)."""
+    import json
+    rs = np.random.RandomState(15)
+    base, _ = make_synthetic_bed(tmp_path, 16, 60, seed=15)
+    with open(base + ".phen", "w") as fh:
+        for i in range(60):
+            fh.write(f"per{i} per{i} {4.0 + rs.randn() * 0.2:.6f}\n")
+    with open(base + ".fail", "w") as fh:
+        fh.write("\n".join("1" if rs.random() > 0.2 else "0"
+                           for _ in range(60)))
+    out = str(tmp_path / "outw1")
+    _run_cli(["--mpibayes", "bayesWMPI", "--bfile", base,
+              "--pheno", base + ".phen", "--failure", base + ".fail",
+              "--mcmc-out-dir", out, "--mcmc-out-name", "w1",
+              "--chain-length", "4", "--thin", "2", "--save", "2",
+              "--seed", "22", "--window", "1", "--quad_points", "7"])
+    rng = json.load(open(os.path.join(out, "w1") + ".rng.0"))
+    assert rng["window"] == 1 and rng["exact"] is True
