@@ -492,14 +492,18 @@ def _sweep_exact_mt_kernel(K: int, T: int, n_tiles: int, O_PAD: int, PREC,
 def sweep_exact_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
                    mrow: jax.Array, i_2se: jax.Array, dNm1: jax.Array, *,
                    window: int, n_mix: int, n_traits: int,
-                   tile_bytes: int = 0, vma=None, interpret: bool = False
+                   tile_bytes: int = 0,
+                   win_perm: Optional[jax.Array] = None,
+                   vma=None, interpret: bool = False
                    ) -> Tuple[jax.Array, jax.Array]:
     """Run a full EXACT multi-trait sweep in one kernel launch.
 
-    Same I/O contract as sweep_stale_mt. ONLY valid for complete
-    genotypes + full phenotypes (trait-shared stats; the caller gates
-    this — samplers/bayesrrm_mt.py). dNm1 must be (real N) - 1 for every
-    trait (full phenotypes make them equal)."""
+    Same I/O contract as sweep_stale_mt (including win_perm block
+    addressing — the chain stays exact sequential Gibbs; only the scan
+    order changes). ONLY valid for complete genotypes + full phenotypes
+    (trait-shared stats; the caller gates this — samplers/bayesrrm_mt.py).
+    dNm1 must be (real N) - 1 for every trait (full phenotypes make them
+    equal)."""
     m_loc, NB = pk_shuf.shape
     T = n_traits
     assert mrow.shape[1] == mt_mrow_width(n_mix, T), (mrow.shape, n_mix, T)
@@ -524,25 +528,28 @@ def sweep_exact_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
         return (jax.ShapeDtypeStruct(shape, f32, vma=set(vma)) if vma
                 else jax.ShapeDtypeStruct(shape, f32))
 
+    if win_perm is None:
+        pk_map = lambda w, p, t: (w, t)                       # noqa: E731
+        row_map = lambda w, p, t: (w, 0)                      # noqa: E731
+    else:
+        pk_map = lambda w, p, t, wp: (wp[w], t)               # noqa: E731
+        row_map = lambda w, p, t, wp: (wp[w], 0)              # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=0 if win_perm is None else 1,
         grid=(n_windows, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((W, tb), lambda w, p, t: (w, t),
+            pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, W), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, W), lambda w, p, t: (w, 0),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 3), lambda w, p, t: (0, 0),
+            pl.BlockSpec((T, 3), lambda w, p, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((o_pad, W), lambda w, p, t: (w, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t: (0, 0, 0),
+            pl.BlockSpec((o_pad, W), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 4 * T, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -556,13 +563,21 @@ def sweep_exact_mt(pk_shuf: jax.Array, eps_t: jax.Array, tm_t: jax.Array,
         ],
     )
     prec = jax.lax.Precision.HIGHEST if interpret else None
+    kern = functools.partial(_sweep_exact_mt_kernel, n_mix, T, n_tiles,
+                             o_pad, prec)
+    if win_perm is None:
+        operands = (pk_shuf, mrow_r, eps_r, tm_r, sc)
+        body = kern
+    else:
+        operands = (jnp.asarray(win_perm, jnp.int32),
+                    pk_shuf, mrow_r, eps_r, tm_r, sc)
+        body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
     out, eps_out = pl.pallas_call(
-        functools.partial(_sweep_exact_mt_kernel, n_mix, T, n_tiles,
-                          o_pad, prec),
+        body,
         grid_spec=grid_spec,
         out_shape=[sds((n_windows * o_pad, W)), sds((n_tiles, 4 * T, tb))],
         interpret=interpret,
-    )(pk_shuf, mrow_r, eps_r, tm_r, sc)
+    )(*operands)
     eps_new = eps_out.transpose(1, 0, 2).reshape(4 * T, NB)
     out2 = out.reshape(n_windows, o_pad, W)[:, :3 * T, :]
     return eps_new, out2.transpose(0, 2, 1).reshape(m_loc, 3 * T)

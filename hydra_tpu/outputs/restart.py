@@ -33,6 +33,7 @@ class RestartData:
     seed: int
     rng_window: Optional[int] = None   # chain schedule saved in .rng.0
     rng_exact: Optional[bool] = None
+    rng_schedule: Optional[str] = None  # marker | block (absent pre-r4)
     gamma: Optional[np.ndarray] = None
     x_order: Optional[np.ndarray] = None
     fh_state: Optional[dict] = None
@@ -185,6 +186,7 @@ def read_restart(mcmc_out: str, mtot: int, ntot: int, save: int,
         est_pi=est_pi, mu=mu, beta=beta, components=comps, eps=eps,
         marker_order=marker_order, seed=int(rng["seed"]),
         rng_window=rng.get("window"), rng_exact=rng.get("exact"),
+        rng_schedule=rng.get("schedule"),
         gamma=gamma, x_order=x_order, fh_state=fh_state, alpha=alpha, pi_l=pi_l)
 
 

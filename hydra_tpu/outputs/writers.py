@@ -45,13 +45,14 @@ class McmcWriter:
                  k: int, thin: int, save: int, seed: int,
                  covariates: bool = False, survival: bool = False,
                  make_tarball: bool = False, window: int = 0,
-                 exact: bool = True):
+                 exact: bool = True, schedule: str = "marker"):
         self.base = mcmc_out
         self.mtot, self.ntot = mtot, ntot
         self.num_groups, self.k = num_groups, k
         self.thin, self.save = thin, save
         self.seed = seed
         self.window, self.exact = window, exact
+        self.schedule = schedule
         self.covariates = covariates
         self.survival = survival
         self.make_tarball = make_tarball
@@ -170,7 +171,8 @@ class McmcWriter:
         # reference's boost state dump, distributions_boost.cpp:38-55)
         with open(self.base + ".rng.0", "w") as fh:
             json.dump({"seed": self.seed, "iteration": it,
-                       "window": self.window, "exact": self.exact}, fh)
+                       "window": self.window, "exact": self.exact,
+                       "schedule": self.schedule}, fh)
         if fh_state is not None:
             np.savez(self.base + ".fh.npz", **fh_state)
         if self.make_tarball:

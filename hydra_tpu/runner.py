@@ -197,7 +197,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         McmcWriter(mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
                    ds.mS.shape[1], opt.thin, opt.save, opt.seed,
                    covariates=opt.covariates, window=opt.window,
-                   exact=opt.exact)
+                   exact=opt.exact, schedule=sampler.cfg.schedule)
         for t in range(T)
     ]
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
@@ -284,6 +284,19 @@ def apply_restart_rng(opt: Options, rd) -> None:
             print(f"WARNING: restart with --window {opt.window} but the chain "
                   f"was saved with window {rd.rng_window}; the restarted chain "
                   f"will not reproduce the uninterrupted one", flush=True)
+    if rd.rng_schedule is not None and opt.schedule != rd.rng_schedule:
+        if opt.schedule == "auto":
+            # the schedule was auto-resolved, not user-chosen: adopt the
+            # saved chain's (same rule as the auto-sized window above) so
+            # the restart continues the identical scan-order stream
+            print(f"INFO   : restart: adopting the saved chain's "
+                  f"'{rd.rng_schedule}' schedule", flush=True)
+            opt.schedule = rd.rng_schedule
+        else:
+            print(f"WARNING: restart with --schedule {opt.schedule} but the "
+                  f"chain was saved with '{rd.rng_schedule}'; the restarted "
+                  f"chain will not reproduce the uninterrupted one",
+                  flush=True)
     # BayesW has no --exact switch: exactness there IS window == 1 (the
     # W=1 mega kernel), which is what its writer records
     eff_exact = (opt.window == 1 if opt.bayes_type == "bayesWMPI"
@@ -331,7 +344,8 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
     writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups,
                         ds.mS.shape[1], opt.thin, opt.save, opt.seed,
                         covariates=opt.covariates,
-                        window=opt.window, exact=opt.exact)
+                        window=opt.window, exact=opt.exact,
+                        schedule=sampler.cfg.schedule)
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     # collective-cost profile for the reference's proc/sync telemetry

@@ -51,7 +51,8 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
                         # window=1 IS exact sequential BayesW (level sums +
                         # draw + vi refresh per marker; the W=1 mega kernel
                         # makes it affordable) — record it as such
-                        window=opt.window, exact=(opt.window == 1))
+                        window=opt.window, exact=(opt.window == 1),
+                        schedule=sampler.cfg.schedule)
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     stats = None

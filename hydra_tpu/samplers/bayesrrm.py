@@ -1040,21 +1040,30 @@ class BayesRRm:
                   "--window) is waived — the scan order now depends on "
                   "the window partition", flush=True)
         if schedule == "auto":
-            # Stale runs default to the block schedule wherever the mega
-            # kernel can host it: hardware-measured 1.4-1.7x+ (no per-sweep
+            # Default to the block schedule wherever the mega kernel can
+            # host it. Stale: hardware-measured 1.4-2.6x (no per-sweep
             # packed gather, no m_loc gathers/scatters; M=1M runs at the
             # bare-kernel 35 us/window) with h2 posterior shifts of
             # 0.002-0.008 across seeds — inside chain noise and below the
             # stale relaxation's own W=1024 shift (BIAS_SWEEP_SCHED.md).
-            # --schedule marker restores the reference's per-sweep marker
-            # permutation. Exact mode (the faithful default) always uses
-            # marker.
+            # Exact: block is STILL exact sequential Gibbs (the scan order
+            # changes, the per-step conditioning does not — a valid
+            # systematic-scan chain over the same posterior), measured
+            # 1.4x at M=100K W=64 (75.7 -> 54.4 ms, 34.8 us/window); the
+            # only cost is the window-width invariance (identical chains
+            # for any --window), which --schedule marker restores.
             block_fit = packed_bytes + 1.5e9 < 15.5e9
-            schedule = ("block" if (not exact and mega_ok and window >= 8
+            schedule = ("block" if (mega_ok and window >= 8
                                     and mega != "off" and not forced_planes
                                     and block_fit)
                         else "marker")
-            if schedule == "block":
+            if schedule == "block" and exact:
+                print("INFO   : exact run — block schedule (exact "
+                      "sequential-Gibbs semantics preserved; scan order "
+                      "now depends on the window partition — --schedule "
+                      "marker restores window-invariant chains)",
+                      flush=True)
+            elif schedule == "block":
                 print("INFO   : stale run — block schedule (whole-sweep "
                       "kernel streams windows in place; --schedule marker "
                       "restores the reference's per-sweep marker shuffle)",

@@ -489,7 +489,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         from hydra_tpu.ops.window_kernels import (deinterleave_mt,
                                                   interleave_mt)
 
-        blockslot = cfg.schedule == "block" and not cfg.exact
+        blockslot = cfg.schedule == "block"
         if blockslot:
             # pk, mrow and out all stay in SLOT order; the kernel block-
             # addresses them through the window permutation (sweep_stale_mt
@@ -541,7 +541,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             eps_new_t, out_m = sweep_exact_mt(
                 pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
                 mrow, i_2se, dNm1, window=W, n_mix=cfg.k, n_traits=T,
-                vma=vma_axes, interpret=cfg.interpret)
+                win_perm=wp_arg, vma=vma_axes, interpret=cfg.interpret)
         else:
             eps_new_t, out_m = sweep_stale_mt(
                 pk_shuf, deinterleave_mt(eps), deinterleave_mt(trait_mask),
@@ -691,20 +691,28 @@ class BayesRRmMT:
             raise ValueError(f"schedule must be auto/marker/block, "
                              f"got {schedule!r}")
         if schedule == "block" and exact_b:
-            print("INFO   : --schedule block needs stale windows — keeping "
-                  "the marker schedule (see bayesrrm.py)", flush=True)
-            schedule = "marker"
+            print("INFO   : mt exact mode with --schedule block: exact "
+                  "sequential-Gibbs semantics preserved; the window-width "
+                  "invariance is waived (scan order depends on the window "
+                  "partition)", flush=True)
         if schedule == "auto":
-            # stale mt defaults to block wherever the mt mega can host it
-            # (BIAS_SWEEP_SCHED.md h2 evidence; exact mt keeps marker)
-            schedule = ("block" if (mega_base_mt and not exact_b
-                                    and T * geno.n_pad <= 262144
-                                    and packed_bytes + 1.5e9 < 15.5e9)
+            # mt defaults to block wherever the mt mega can host it
+            # (BIAS_SWEEP_SCHED.md h2 evidence; for exact the block
+            # schedule is STILL exact sequential Gibbs — scan order only —
+            # see bayesrrm.py). Exact mega additionally needs complete
+            # genotypes + full phenotypes (trait-shared integer Gram).
+            mega_fits = (mega_base_mt and T * geno.n_pad <= 262144
+                         and packed_bytes + 1.5e9 < 15.5e9)
+            schedule = ("block" if (mega_fits
+                                    and (not exact_b
+                                         or (complete_b and full_ph)))
                         else "marker")
             if schedule == "block":
                 print("INFO   : mt block schedule (whole-sweep kernel "
                       "streams windows in place; --schedule marker restores "
-                      "the per-sweep marker shuffle)", flush=True)
+                      "the per-sweep marker shuffle"
+                      + (" and window-invariant exact chains" if exact_b
+                         else "") + ")", flush=True)
         self.cfg = MtConfig(
             n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,

@@ -51,12 +51,13 @@ def _compare(ds, phenos, window, seed=7, iters=3, schedule="auto"):
     _states_close(sr, sm)
 
 
-def _compare_exact(ds, phenos, window, seed=7, iters=3):
+def _compare_exact(ds, phenos, window, seed=7, iters=3, schedule="auto"):
     """Exact mt mega kernel (interpret) vs the exact XLA window path."""
-    ref = BayesRRmMT(ds, phenos, window=window, seed=seed, mesh=make_mesh(1))
+    ref = BayesRRmMT(ds, phenos, window=window, seed=seed, mesh=make_mesh(1),
+                     schedule=schedule)
     assert ref.cfg.exact and not ref.cfg.use_mega
     mega = BayesRRmMT(ds, phenos, window=window, seed=seed,
-                      mesh=make_mesh(1))
+                      mesh=make_mesh(1), schedule=schedule)
     mega.cfg = dataclasses.replace(mega.cfg, use_mega=True, interpret=True)
     mega._step = mega._build_step()
     sr = ref.init_state()
@@ -127,3 +128,11 @@ def test_mt_block_schedule_mega_matches_window_path():
     per-window path on the same composite schedule."""
     ds, phenos, _ = simulate_mt(m=128, n=300, n_traits=3, seed=21)
     _compare(ds, phenos, window=32, schedule="block")
+
+
+def test_mt_exact_block_schedule_mega_matches_window_path():
+    """EXACT mt mega on the block schedule (win_perm prefetch) == the exact
+    XLA window path on the same composite schedule — exact semantics are
+    scan-order-only under block (see bayesrrm_mt schedule resolution)."""
+    ds, phenos, _ = simulate_mt(m=96, n=250, n_traits=3, seed=23)
+    _compare_exact(ds, phenos, window=16, schedule="block")
