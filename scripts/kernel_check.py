@@ -346,6 +346,27 @@ def main():
     check("sweep_bw.beta", out_c[:, 0], out_i[:, 0], tol=5e-4)
     check("sweep_bw.comp", out_c[:, 1], out_i[:, 1], tol=0)
 
+    # W=1 (exact sequential BayesW) with block win_perm: the narrow-W
+    # one-hot sublane row select is a distinct Mosaic lowering path
+    wp1 = rs.permutation(m_loc).astype(np.int32)
+
+    def run_bw1(interp):
+        f = jax.jit(lambda p, e, v, r: sweep_stale_bw(
+            p, deinterleave(e), deinterleave(v), r,
+            jnp.asarray(ghx_p), jnp.asarray(ghw_p), alpha_v,
+            window=1, n_mix=kbw, complete=False,
+            ind_mask4=deinterleave(jnp.asarray(mask1)), n_shrink=n_shr,
+            win_perm=jnp.asarray(wp1), interpret=interp))
+        e, o = f(jnp.asarray(hpack_bytes(pk_bw)), jnp.asarray(eps_bw),
+                 jnp.asarray(vi_bw), jnp.asarray(mrow_bw))
+        return np.asarray(interleave(e)), np.asarray(o)
+
+    eps_c, out_c = run_bw1(False)
+    eps_i, out_i = run_bw1(True)
+    check("sweep_bw_w1.eps", eps_c, eps_i, tol=5e-4)
+    check("sweep_bw_w1.beta", out_c[:, 0], out_i[:, 0], tol=5e-4)
+    check("sweep_bw_w1.comp", out_c[:, 1], out_i[:, 1], tol=0)
+
     # multi-trait whole-sweep mega-kernel: compiled vs interpret mode of
     # the SAME kernel, driven through the sampler (the CPU suite ties
     # interpret == the per-window XLA path, tests/test_sweep_kernel_mt.py;
@@ -374,6 +395,28 @@ def main():
     check("sweep_mt.beta", np.asarray(st_c.beta), np.asarray(st_i.beta),
           tol=5e-4)
     check("sweep_mt.comp", np.asarray(st_c.components).astype(np.float32),
+          np.asarray(st_i.components).astype(np.float32), tol=0)
+
+    # EXACT mt mega on the block schedule (win_perm prefetch on
+    # sweep_exact_mt): compiled vs interpret of the same kernel
+    def run_mt_exact_block(interp):
+        s = BayesRRmMT(ds_mt, phen_mt, window=16, seed=9, mesh=make_mesh(1),
+                       schedule="block")
+        assert s.cfg.exact
+        s.cfg = _dc.replace(s.cfg, use_mega=True, interpret=interp)
+        s._step = s._build_step()
+        st = s.init_state()
+        for it in range(2):
+            st, _ = s.step(st, it)
+        return st
+
+    st_c, st_i = run_mt_exact_block(False), run_mt_exact_block(True)
+    check("sweep_mt_exact_block.eps", np.asarray(st_c.eps),
+          np.asarray(st_i.eps), tol=5e-4)
+    check("sweep_mt_exact_block.beta", np.asarray(st_c.beta),
+          np.asarray(st_i.beta), tol=5e-4)
+    check("sweep_mt_exact_block.comp",
+          np.asarray(st_c.components).astype(np.float32),
           np.asarray(st_i.components).astype(np.float32), tol=0)
 
     if fails:
