@@ -284,17 +284,18 @@ def apply_restart_rng(opt: Options, rd) -> None:
             print(f"WARNING: restart with --window {opt.window} but the chain "
                   f"was saved with window {rd.rng_window}; the restarted chain "
                   f"will not reproduce the uninterrupted one", flush=True)
-    if rd.rng_schedule is not None and opt.schedule != rd.rng_schedule:
+    saved_schedule = getattr(rd, "rng_schedule", None)
+    if saved_schedule is not None and opt.schedule != saved_schedule:
         if opt.schedule == "auto":
             # the schedule was auto-resolved, not user-chosen: adopt the
             # saved chain's (same rule as the auto-sized window above) so
             # the restart continues the identical scan-order stream
             print(f"INFO   : restart: adopting the saved chain's "
-                  f"'{rd.rng_schedule}' schedule", flush=True)
-            opt.schedule = rd.rng_schedule
+                  f"'{saved_schedule}' schedule", flush=True)
+            opt.schedule = saved_schedule
         else:
             print(f"WARNING: restart with --schedule {opt.schedule} but the "
-                  f"chain was saved with '{rd.rng_schedule}'; the restarted "
+                  f"chain was saved with '{saved_schedule}'; the restarted "
                   f"chain will not reproduce the uninterrupted one",
                   flush=True)
     # BayesW has no --exact switch: exactness there IS window == 1 (the

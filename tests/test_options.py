@@ -85,11 +85,14 @@ def test_restart_adopts_saved_window_when_auto(capsys):
     from hydra_tpu.runner import apply_restart_rng
     opt = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
                       "--pheno", "x.phen"])
-    rd = SimpleNamespace(seed=7, rng_window=128, rng_exact=True)
+    rd = SimpleNamespace(seed=7, rng_window=128, rng_exact=True,
+                         rng_schedule="block")
     apply_restart_rng(opt, rd)
     assert opt.window == 128 and opt.seed == 7
+    assert opt.schedule == "block"          # auto adopts the saved schedule
     out = capsys.readouterr().out
     assert "adopting the saved chain's window" in out
+    assert "adopting the saved chain's 'block' schedule" in out
     assert "WARNING" not in out
     explicit = parse_args(["--mpibayes", "bayesMPI", "--bfile", "x",
                            "--pheno", "x.phen", "--window", "32"])
