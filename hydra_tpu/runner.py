@@ -52,6 +52,19 @@ def _last_stats(stats):
     return jax.tree.map(lambda x: x[-1], stats)
 
 
+def _fetch_host(tree: dict) -> dict:
+    """Pull a dict of device arrays to host in ONE batched transfer.
+
+    jax.device_get issues copy_to_host_async on every leaf before any
+    blocking conversion, so a remote/tunneled backend pays one round-trip
+    latency instead of one per array. The thin boundary previously did ~8
+    sequential np.asarray pulls; on the tunneled axon backend that was
+    ~65 ms of pure fetch latency per iteration (127% overhead over the
+    51.9 ms sweep in the round-4 soak at M=100K x N=50K)."""
+    import jax
+    return jax.device_get(tree)
+
+
 def dataset_from_options(opt: Options) -> Dataset:
     """Input dispatch mirroring main.cpp:60-157."""
     n, m = opt.number_individuals, opt.number_markers
@@ -209,37 +222,53 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         else:
             state, stats = sampler.run_steps(state, it - k + 1, k)
             stats = _last_stats(stats)
-        if it % opt.thin == 0:
-            beta_g = sampler.beta_global(state)
-            acum_g = sampler.acum_global(state)
-            for t, w in enumerate(writers):
-                sg = np.asarray(state.sigma_g, dtype=np.float64)[t]
-                se = float(np.asarray(state.sigma_e)[t])
-                m0 = int(np.asarray(stats.m0)[t].sum())
-                row = w.csv_row_brr(it, sg, se, m0,
-                                    np.asarray(state.est_pi)[t].astype(np.float64))
-                comp_t = np.zeros(ds.m, dtype=np.int32)
-                sel = sampler.slot_to_marker >= 0
-                comp_t[sampler.slot_to_marker[sel]] = \
-                    np.asarray(state.components)[sel, t]
-                w.on_thin(it, beta_g[:, t], comp_t, row,
-                          float(np.asarray(state.mu)[t]),
-                          acum=acum_g[:, t])
-        if it > 0 and it % opt.save == 0:
-            eps_all = np.asarray(state.eps, dtype=np.float64)
-            beta_g = sampler.beta_global(state)
-            gamma_all = np.asarray(state.gamma, dtype=np.float64)
+        on_thin = it % opt.thin == 0
+        on_save = it > 0 and it % opt.save == 0
+        on_log = verbose and it % 10 == 0
+        if on_thin or on_save or on_log:
+            pulls = dict(sigma_g=state.sigma_g, sigma_e=state.sigma_e)
+            if on_thin or on_save:
+                pulls.update(beta=state.beta, components=state.components,
+                             mu=state.mu)
+            if on_thin:
+                pulls.update(m0=stats.m0, est_pi=state.est_pi,
+                             acum=state.acum)
+            if on_save:
+                pulls.update(eps=state.eps, gamma=state.gamma)
+            h = _fetch_host(pulls)  # ONE tunnel round-trip (see runner.py)
+        if on_thin or on_save:
             sel = sampler.slot_to_marker >= 0
+            beta_g = np.zeros((ds.m, T))
+            beta_g[sampler.slot_to_marker[sel]] = \
+                h["beta"].astype(np.float64)[sel]
+        if on_thin:
+            # padded markers report P(zero)=1 (sampler.acum_global semantics)
+            acum_g = np.ones((ds.m, T))
+            acum_g[sampler.slot_to_marker[sel]] = \
+                h["acum"].astype(np.float64)[sel]
+            for t, w in enumerate(writers):
+                sg = h["sigma_g"].astype(np.float64)[t]
+                se = float(h["sigma_e"][t])
+                m0 = int(h["m0"][t].sum())
+                row = w.csv_row_brr(it, sg, se, m0,
+                                    h["est_pi"][t].astype(np.float64))
+                comp_t = np.zeros(ds.m, dtype=np.int32)
+                comp_t[sampler.slot_to_marker[sel]] = h["components"][sel, t]
+                w.on_thin(it, beta_g[:, t], comp_t, row,
+                          float(h["mu"][t]),
+                          acum=acum_g[:, t])
+        if on_save:
+            eps_all = h["eps"].astype(np.float64)
+            gamma_all = h["gamma"].astype(np.float64)
             for t, w in enumerate(writers):
                 comp_t = np.zeros(ds.m, dtype=np.int32)
-                comp_t[sampler.slot_to_marker[sel]] = \
-                    np.asarray(state.components)[sel, t]
+                comp_t[sampler.slot_to_marker[sel]] = h["components"][sel, t]
                 w.on_save(it, eps_all[: ds.n, t], marker_order,
                           beta_g[:, t], comp_t,
                           gamma=(gamma_all[:, t] if opt.covariates else None))
-        if verbose and it % 10 == 0:
-            sg = np.asarray(state.sigma_g).sum(axis=1)
-            se = np.asarray(state.sigma_e)
+        if on_log:
+            sg = h["sigma_g"].sum(axis=1)
+            se = h["sigma_e"]
             print(f"RESULT : it {it:4d}: h2 per trait = "
                   f"{np.array2string(sg / (sg + se), precision=4)}", flush=True)
     return dict(state=state, stats=stats, sampler=sampler)
@@ -366,30 +395,53 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
             # fused dispatch: iterations it-k+1 .. it in one lax.scan
             state, stats = sampler.run_steps(state, it - k + 1, k)
             stats = _last_stats(stats)
-        if it % opt.thin == 0:
-            sg = np.asarray(state.sigma_g, dtype=np.float64)
-            se = float(state.sigma_e)
-            m0 = int(np.asarray(stats.m0).sum())
+        on_thin = it % opt.thin == 0
+        on_save = it > 0 and it % opt.save == 0
+        on_log = verbose and it % 10 == 0
+        if on_thin or on_save or on_log:
+            pulls = dict(sigma_g=state.sigma_g, sigma_e=state.sigma_e,
+                         mu=state.mu, m0=stats.m0)
+            if on_thin or on_save:
+                pulls.update(beta=state.beta, components=state.components)
+            if on_thin:
+                pulls.update(est_pi=state.est_pi, acum=state.acum)
+            if on_save:
+                pulls.update(eps=state.eps, gamma=state.gamma)
+                if fh:
+                    pulls.update(lambda_var=state.lambda_var,
+                                 nu_var=state.nu_var, c_slab=state.c_slab,
+                                 tau=state.tau, hyp_tau=state.hyp_tau)
+            if on_log:
+                pulls.update(beta_sqn=stats.beta_sqn, cass=stats.cass)
+            h = _fetch_host(pulls)
+        if on_thin or on_save:
+            beta_g = sampler._to_marker_order(h["beta"].astype(np.float64))
+            comp_g = sampler._to_marker_order(
+                h["components"].astype(np.int64)).astype(np.int32)
+        if on_thin:
+            sg = h["sigma_g"].astype(np.float64)
+            se = float(h["sigma_e"])
+            m0 = int(h["m0"].sum())
             row = writer.csv_row_brr(it, sg, se, m0,
-                                     np.asarray(state.est_pi, dtype=np.float64))
-            writer.on_thin(it, sampler.beta_global(state),
-                           sampler.components_global(state), row,
-                           float(state.mu), acum=sampler.acum_global(state))
-        if it > 0 and it % opt.save == 0:
-            eps = np.asarray(state.eps, dtype=np.float64)[: ds.n]
+                                     h["est_pi"].astype(np.float64))
+            writer.on_thin(it, beta_g, comp_g, row, float(h["mu"]),
+                           acum=sampler._to_marker_order(
+                               h["acum"].astype(np.float64)))
+        if on_save:
+            eps = h["eps"].astype(np.float64)[: ds.n]
             fh_state = None
             if fh:
                 lam = np.zeros(ds.m)
                 nu = np.zeros(ds.m)
                 sel = sampler.slot_to_marker >= 0
-                lam[sampler.slot_to_marker[sel]] = np.asarray(state.lambda_var)[sel]
-                nu[sampler.slot_to_marker[sel]] = np.asarray(state.nu_var)[sel]
+                lam[sampler.slot_to_marker[sel]] = h["lambda_var"][sel]
+                nu[sampler.slot_to_marker[sel]] = h["nu_var"][sel]
                 fh_state = dict(lambda_var=lam, nu_var=nu,
-                                c_slab=np.asarray(state.c_slab),
-                                tau=float(state.tau), hyp_tau=float(state.hyp_tau))
-            writer.on_save(it, eps, marker_order, sampler.beta_global(state),
-                           sampler.components_global(state),
-                           gamma=np.asarray(state.gamma, dtype=np.float64),
+                                c_slab=np.asarray(h["c_slab"]),
+                                tau=float(h["tau"]),
+                                hyp_tau=float(h["hyp_tau"]))
+            writer.on_save(it, eps, marker_order, beta_g, comp_g,
+                           gamma=h["gamma"].astype(np.float64),
                            x_order=(sampler.cov_order(it)
                                     if opt.covariates else None),
                            fh_state=fh_state)
@@ -398,16 +450,16 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
         # the reference prints RESULT every iteration on rank%10==0 ranks;
         # the single logical rank here reports every 10th iteration so the
         # host<->device pull does not throttle the async dispatch chain
-        if verbose and it % 10 == 0:
-            sg = float(np.asarray(state.sigma_g).sum())
-            se = float(state.sigma_e)
+        if on_log:
+            sg = float(h["sigma_g"].sum())
+            se = float(h["sigma_e"])
             print(telemetry.result_line(
                 it, dt / k, prof, sg, se,
-                float(np.asarray(stats.beta_sqn).sum()),
-                int(np.asarray(stats.m0).sum())), flush=True)
+                float(h["beta_sqn"].sum()),
+                int(h["m0"].sum())), flush=True)
             print(telemetry.cass_table(
-                it, np.asarray(sampler.mtot_grp), np.asarray(state.sigma_g),
-                np.asarray(stats.cass)), flush=True)
+                it, np.asarray(sampler.mtot_grp), h["sigma_g"],
+                h["cass"]), flush=True)
 
     n_done = opt.chain_length - start_it
     if verbose and n_done > 0:

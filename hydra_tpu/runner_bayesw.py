@@ -11,7 +11,7 @@ from hydra_tpu.data.genotypes import Dataset
 from hydra_tpu.options import Options
 from hydra_tpu.outputs.restart import read_restart
 from hydra_tpu.outputs.writers import McmcWriter
-from hydra_tpu.runner import _iter_blocks, _last_stats
+from hydra_tpu.runner import _fetch_host, _iter_blocks, _last_stats
 from hydra_tpu.samplers.bayesw import BayesW
 
 
@@ -65,29 +65,49 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
             # fused dispatch between writer/telemetry events (see runner.py)
             state, stats = sampler.run_steps(state, it - k + 1, k)
             stats = _last_stats(stats)
-        if it % opt.thin == 0:
-            sg = np.asarray(state.sigma_g, dtype=np.float64)
-            row = writer.csv_row_bw(it, float(state.mu), sg, float(state.alpha),
-                                    int(np.asarray(stats.m0).sum()),
-                                    np.asarray(state.pi_l, dtype=np.float64))
+        on_thin = it % opt.thin == 0
+        on_save = it > 0 and it % opt.save == 0
+        on_log = verbose and it % 10 == 0
+        if on_thin or on_save or on_log:
+            pulls = dict(sigma_g=state.sigma_g, mu=state.mu,
+                         alpha=state.alpha, m0=stats.m0)
+            if on_thin or on_save:
+                pulls.update(beta=state.beta, components=state.components)
+            if on_thin:
+                pulls.update(pi_l=state.pi_l)
+                if opt.covariates:
+                    pulls.update(gamma=state.gamma)
+            if on_save:
+                pulls.update(eps=state.eps)
+            h = _fetch_host(pulls)  # ONE tunnel round-trip (see runner.py)
+        if on_thin or on_save:
+            sel = sampler.slot_to_marker >= 0
+            beta_g = np.zeros(ds.m)
+            beta_g[sampler.slot_to_marker[sel]] = \
+                h["beta"].astype(np.float64)[sel]
+            comp_g = np.zeros(ds.m, dtype=np.int32)
+            comp_g[sampler.slot_to_marker[sel]] = h["components"][sel]
+        if on_thin:
+            sg = h["sigma_g"].astype(np.float64)
+            row = writer.csv_row_bw(it, float(h["mu"]), sg, float(h["alpha"]),
+                                    int(h["m0"].sum()),
+                                    h["pi_l"].astype(np.float64))
             gamma_text = None
             if opt.covariates:
-                g = np.asarray(state.gamma, dtype=np.float64)
+                g = h["gamma"].astype(np.float64)
                 gamma_text = (f"{it:5d}, "
                               + ", ".join(f"{v:20.17f}" for v in g) + "\n")
-            writer.on_thin(it, sampler.beta_global(state),
-                           sampler.components_global(state), row,
-                           float(state.mu), gamma_text=gamma_text)
-        if it > 0 and it % opt.save == 0:
-            eps = np.asarray(state.eps, dtype=np.float64)[: ds.n]
-            writer.on_save(it, eps, marker_order, sampler.beta_global(state),
-                           sampler.components_global(state),
+            writer.on_thin(it, beta_g, comp_g, row,
+                           float(h["mu"]), gamma_text=gamma_text)
+        if on_save:
+            eps = h["eps"].astype(np.float64)[: ds.n]
+            writer.on_save(it, eps, marker_order, beta_g, comp_g,
                            x_order=(sampler.cov_order(it)
                                     if opt.covariates else None))
-        if verbose and it % 10 == 0:
-            print(f"{it}. m0={int(np.asarray(stats.m0).sum())}; "
-                  f"mu={float(state.mu):.5f}; alpha={float(state.alpha):.5f}; "
-                  f"sigmaG={float(np.asarray(state.sigma_g).sum()):.5f} "
+        if on_log:
+            print(f"{it}. m0={int(h['m0'].sum())}; "
+                  f"mu={float(h['mu']):.5f}; alpha={float(h['alpha']):.5f}; "
+                  f"sigmaG={float(h['sigma_g'].sum()):.5f} "
                   f"({time.time() - t0:.3f}s)", flush=True)
 
     return dict(state=state, stats=stats, sampler=sampler, mcmc_out=mcmc_out)
