@@ -136,14 +136,19 @@ def bed_remove_individuals(packed: np.ndarray, n: int,
     return out
 
 
-def bed_sparse_fill(packed: np.ndarray, n: int, s1, s2, sm, c1, c2, cm):
+def bed_sparse_fill(packed: np.ndarray, n: int, s1, s2, sm, c1, c2, cm,
+                    out=None):
+    """out: optional (i1, i2, im) uint32 buffers to fill (capacity checked);
+    reuse avoids cold-page faults that dominate blockwise conversion."""
     lib = _load()
     if lib is None:
         return None
     m, nbytes = packed.shape
-    i1 = np.empty(int(c1.sum()), np.uint32)
-    i2 = np.empty(int(c2.sum()), np.uint32)
-    im = np.empty(int(cm.sum()), np.uint32)
+    need = (int(c1.sum()), int(c2.sum()), int(cm.sum()))
+    if out is not None and all(b.size >= k for b, k in zip(out, need)):
+        i1, i2, im = (b[:k] for b, k in zip(out, need))
+    else:
+        i1, i2, im = (np.empty(k, np.uint32) for k in need)
     lib.bed_sparse_fill(np.ascontiguousarray(packed), m, nbytes, n,
                         np.ascontiguousarray(s1, np.int64),
                         np.ascontiguousarray(s2, np.int64),

@@ -154,3 +154,22 @@ def test_remove_individuals_packed(synthetic_bed_factory):
     g1, m1 = plink.decode_bed_numpy(packed, 29)
     np.testing.assert_array_equal(g2, g1[:, keep])
     np.testing.assert_array_equal(m2, m1[:, keep])
+
+
+def test_sparse_writer_native_matches_python(tmp_path, synthetic_bed_factory, monkeypatch):
+    """The native bed_counts+bed_sparse_fill converter path produces files
+    byte-identical to the NumPy per-marker loop (write_sparse_files)."""
+    from hydra_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    base, _ = synthetic_bed_factory(37, 53, missing_rate=0.07)
+    a = str(tmp_path / "nat")
+    b = str(tmp_path / "py")
+    sparse_io.write_sparse_files(base + ".bed", 53, 37, a, block_size=11)
+    monkeypatch.setattr(native, "available", lambda: False)
+    sparse_io.write_sparse_files(base + ".bed", 53, 37, b, block_size=11)
+    exts = [f".{k}{t}" for k in ("ss", "sl", "si") for t in ("1", "2", "m")]
+    for ext in exts + [".dim"]:
+        with open(a + ext, "rb") as fa, open(b + ext, "rb") as fb:
+            assert fa.read() == fb.read(), ext
