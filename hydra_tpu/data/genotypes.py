@@ -90,6 +90,22 @@ class GenotypeData:
     n1: np.ndarray
     n2: np.ndarray
     nm: np.ndarray
+    # multi-process per-host loading (jax.distributed): this host's packed
+    # rows cover global markers [marker_offset, marker_offset + m); m_tot is
+    # the global marker count and nm_tot the global missing-genotype count
+    # (None => this host holds ALL markers, the single-process case)
+    marker_offset: int = 0
+    m_tot: Optional[int] = None
+    nm_tot: Optional[float] = None
+
+    @property
+    def m_global(self) -> int:
+        return self.m if self.m_tot is None else self.m_tot
+
+    @property
+    def nm_global_sum(self) -> float:
+        return (float(np.asarray(self.nm).sum())
+                if self.nm_tot is None else self.nm_tot)
 
     @staticmethod
     def from_packed(packed: np.ndarray, n: int, na_indices: np.ndarray) -> "GenotypeData":
@@ -151,7 +167,8 @@ class Dataset:
 
     @property
     def m(self) -> int:
-        return self.geno.m
+        # GLOBAL marker count (== local count except under per-host loading)
+        return self.geno.m_global
 
 
 def make_default_groups(m: int, S: List[float]) -> Tuple[np.ndarray, np.ndarray]:
@@ -175,21 +192,33 @@ def load_dataset(
     priors: Optional[np.ndarray] = None,
     d_priors: Optional[np.ndarray] = None,
     blocks: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    marker_offset: int = 0,
+    marker_count: Optional[int] = None,
 ) -> Dataset:
     """Assemble a Dataset from BED or hydra sparse files.
 
     Mirrors the source selection of main.cpp:60-136 / BayesRRm.cpp:1347-1412.
+    marker_offset/marker_count restrict the .bed read to this host's marker
+    shards (the per-host analogue of the reference's MPI-IO collective reads,
+    data.cpp:671-739): groups/phenotypes stay global, genotype rows and their
+    statistics are local, and GenotypeData records the offset.
     """
+    local_slice = marker_count is not None
     if bed_basename:
         if n == 0 or m == 0:
             fam = plink.read_fam(bed_basename + ".fam")
             bim = plink.read_bim(bed_basename + ".bim")
             n, m = fam.n, bim.m
+        if not local_slice:
+            marker_count = m
         t0 = time.perf_counter()
-        packed = plink.read_bed(bed_basename + ".bed", n, m)
+        packed = plink.read_bed(bed_basename + ".bed", n, m,
+                                marker_start=marker_offset,
+                                marker_count=marker_count)
         tl = time.perf_counter() - t0
         # data-load bandwidth log (BayesRRm.cpp:1420-1424)
-        print(f"INFO   : rank   0 took {tl:.3f} seconds to load  "
+        import jax as _jax
+        print(f"INFO   : rank {_jax.process_index():3d} took {tl:.3f} seconds to load  "
               f"{packed.nbytes} bytes  =>  BW = {packed.nbytes * 1e-9 / max(tl, 1e-9):7.3f} GB/s",
               flush=True)
         if sparse_basename:
@@ -215,6 +244,12 @@ def load_dataset(
     if pheno is None:
         raise ValueError("phenotype data is required")
     geno = GenotypeData.from_packed(packed, n, pheno.na_indices)
+    if local_slice:
+        from hydra_tpu.parallel.distributed import allreduce_host_sum
+        geno.marker_offset = marker_offset
+        geno.m_tot = m
+        # the complete-data kernel gate needs the GLOBAL missing count
+        geno.nm_tot = allreduce_host_sum(float(np.asarray(geno.nm).sum()))
     if groups is None or mS is None:
         groups, mS = make_default_groups(m, S or [0.01, 0.001, 0.0001])
     if len(groups) != m:

@@ -101,6 +101,7 @@ class Options:
     schedule: str = "auto"               # marker-processing schedule
                                          # (auto|marker|block; see BayesRRmConfig)
     cross_sync: int = 0                  # exact-mode cross-shard exchange
+    det_sync: int = 0                    # topology-invariant reductions
                                          # interval B (markers); 0 -> window
     device: str = ""                     # JAX platform override (cpu|tpu|...)
 
@@ -288,6 +289,12 @@ def build_parser() -> argparse.ArgumentParser:
            "windows in place (no second packed HBM copy — required for "
            "mega at very large M). auto = marker unless the marker-mega "
            "is HBM-gated off. Exact mode always uses marker")
+    a("--det-sync", dest="det_sync", type=int, default=0,
+      help="1 = topology-invariant residual reductions (all_gather + "
+           "fixed-order sum): the SAME mesh gives bitwise-identical chains "
+           "for any process layout (1x8 == 2x4), at a larger collective "
+           "payload. Used by multi-process validation and reproducible "
+           "cross-topology reruns.")
     a("--cross-sync", dest="cross_sync", type=int, default=0,
       help="exact mode, >1 marker shards: apply OTHER shards' delta-betas "
            "to the in-window correction every B markers (must divide the "
@@ -385,6 +392,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     opt.mega = ns.mega
     opt.schedule = ns.schedule
     opt.cross_sync = ns.cross_sync
+    opt.det_sync = ns.det_sync
     opt.device = ns.device
     if getattr(ns, "dead_analysis", "") or getattr(ns, "dead_preprocess", False):
         raise SystemExit(

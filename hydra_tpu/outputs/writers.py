@@ -189,3 +189,17 @@ class McmcWriter:
                  if ln.strip() and os.path.exists(ln.strip())]
         subprocess.run(["tar", "-cf", tar] + files, check=False,
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+
+class NullWriter:
+    """No-op writer for non-primary processes.
+
+    Multi-process runs keep ONE logical writer (process 0) — the analogue of
+    the reference's rank-0 file creation + offset-disjoint MPI-IO writes
+    (BayesRRm.cpp:2736-2877). Secondaries still participate in the collective
+    device->host gathers; every file method here swallows the result."""
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return lambda *a, **k: None

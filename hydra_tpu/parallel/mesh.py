@@ -88,6 +88,30 @@ def marker_axes(n_dcn: int) -> tuple:
     return (DCN_AXIS, MARKER_AXIS) if n_dcn > 1 else (MARKER_AXIS,)
 
 
+def det_psum(v, axes, n_dev: int):
+    """Topology-invariant all-reduce: one-hot psum + fixed-order local sum.
+
+    lax.psum's reduction order depends on the backend topology (XLA's
+    in-process tree vs Gloo's cross-process ring), so the same 8-shard mesh
+    gives ULP-different sums as 1 process x 8 devices vs 2 x 4. Here each
+    shard scatters its addend into its own row of a (n_dev, ...) buffer and
+    the psum only ever adds a value to zeros — exact in ANY reduction order
+    (x + 0.0 == x bitwise; a -0.0 addend becomes +0.0 in every topology
+    alike) — then the shard-axis sum happens in the COMPILED LOCAL reduction,
+    identical for every process layout. psum keeps the result vma-invariant
+    (an all_gather+sum would be 'varying' and break replicated loop
+    carries). Cost: an n_dev-fold larger collective payload. Enabled by
+    --det-sync for multi-process bitwise validation (tests/test_multiprocess)
+    and reproducible cross-topology production runs; the reference has no
+    equivalent (MPI_Allreduce is likewise order-unstable across topologies)."""
+    import jax.numpy as jnp
+
+    idx = jax.lax.axis_index(axes)
+    z = jnp.zeros((n_dev,) + v.shape, v.dtype)
+    g = jax.lax.psum(z.at[idx].set(v), axes)
+    return jnp.sum(g, axis=0)
+
+
 def hier_psum(v, n_dcn: int, n_chunks: int = 8):
     """All-reduce a replicated vector over the marker hierarchy.
 

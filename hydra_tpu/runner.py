@@ -60,9 +60,12 @@ def _fetch_host(tree: dict) -> dict:
     latency instead of one per array. The thin boundary previously did ~8
     sequential np.asarray pulls; on the tunneled axon backend that was
     ~65 ms of pure fetch latency per iteration (127% overhead over the
-    51.9 ms sweep in the round-4 soak at M=100K x N=50K)."""
-    import jax
-    return jax.device_get(tree)
+    51.9 ms sweep in the round-4 soak at M=100K x N=50K).
+
+    Multi-process: marker-sharded leaves all-gather collectively (every
+    process calls this at the same boundary — parallel/distributed.py)."""
+    from hydra_tpu.parallel.distributed import fetch_global
+    return fetch_global(tree)
 
 
 def dataset_from_options(opt: Options) -> Dataset:
@@ -95,12 +98,30 @@ def dataset_from_options(opt: Options) -> Dataset:
     blocks = (groups_io.read_marker_blocks_file(opt.marker_blocks_file)
               if opt.marker_blocks_file else None)
 
+    marker_offset, marker_count = 0, None
+    import jax
+    if jax.process_count() > 1 and opt.read_from_bed_file:
+        # per-host read: each process loads only the .bed rows of its own
+        # marker shards (the MPI-IO collective-read analogue,
+        # data.cpp:671-739). Shard starts depend only on (m, n_dev, blocks),
+        # so this pre-computes the same layout the sampler will build.
+        from hydra_tpu.data.genotypes import shard_layout
+        n_dev = opt.n_devices or len(jax.devices())
+        starts, lens, _ = shard_layout(m, n_dev, max(opt.window, 1), blocks)
+        me = jax.process_index()
+        devs = jax.devices()[:n_dev]
+        ids = [i for i, dv in enumerate(devs) if dv.process_index == me]
+        lo = int(starts[min(ids)])
+        hi = int(starts[max(ids)] + lens[max(ids)])
+        marker_offset, marker_count = lo, hi - lo
+
     return load_dataset(
         bed_basename=opt.bed_file if opt.read_from_bed_file else "",
         sparse_basename=(opt.sparse_dir + "/" + opt.sparse_basename
                          if opt.read_from_sparse_files else ""),
         pheno=ph, n=n, m=m, groups=grp, mS=mS, S=opt.S,
         priors=priors, d_priors=d_priors, blocks=blocks,
+        marker_offset=marker_offset, marker_count=marker_count,
     )
 
 
@@ -361,6 +382,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
         n_devices=opt.n_devices, n_ind=opt.ind_shards,
         n_dcn=opt.dcn_slices, dtype=opt.dtype, plane_cache=opt.plane_cache,
         mega=opt.mega, cross_sync=opt.cross_sync, schedule=opt.schedule,
+        det_sync=bool(opt.det_sync),
         fh_params=dict(v0L=opt.v0L, v0t=opt.v0t, v0c=opt.v0c,
                        s02c=opt.s02c, tau0=opt.tau0))
 
@@ -371,11 +393,14 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
         state = sampler.init_state()
         start_it = 0
 
+    from hydra_tpu.outputs.writers import NullWriter
+    from hydra_tpu.parallel.distributed import is_primary
+    primary = is_primary()
     writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups,
                         ds.mS.shape[1], opt.thin, opt.save, opt.seed,
                         covariates=opt.covariates,
                         window=opt.window, exact=opt.exact,
-                        schedule=sampler.cfg.schedule)
+                        schedule=sampler.cfg.schedule) if primary else NullWriter()
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     # collective-cost profile for the reference's proc/sync telemetry
@@ -450,7 +475,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
         # the reference prints RESULT every iteration on rank%10==0 ranks;
         # the single logical rank here reports every 10th iteration so the
         # host<->device pull does not throttle the async dispatch chain
-        if on_log:
+        if on_log and primary:
             sg = float(h["sigma_g"].sum())
             se = float(h["sigma_e"])
             print(telemetry.result_line(
@@ -462,7 +487,7 @@ def run_bayesrrm(opt: Options, dataset: Optional[Dataset] = None,
                 h["cass"]), flush=True)
 
     n_done = opt.chain_length - start_it
-    if verbose and n_done > 0:
+    if verbose and n_done > 0 and primary:
         print(telemetry.exit_line(tot_proc, prof, n_done), flush=True)
 
     return dict(state=state, stats=stats, sampler=sampler,

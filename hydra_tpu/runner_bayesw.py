@@ -45,6 +45,9 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
         state = sampler.init_state()
         start_it = 0
 
+    from hydra_tpu.outputs.writers import NullWriter
+    from hydra_tpu.parallel.distributed import is_primary
+    primary = is_primary()
     writer = McmcWriter(mcmc_out, ds.m, ds.n, ds.num_groups, ds.mS.shape[1],
                         opt.thin, opt.save, opt.seed,
                         covariates=opt.covariates, survival=True,
@@ -52,7 +55,7 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
                         # draw + vi refresh per marker; the W=1 mega kernel
                         # makes it affordable) — record it as such
                         window=opt.window, exact=(opt.window == 1),
-                        schedule=sampler.cfg.schedule)
+                        schedule=sampler.cfg.schedule) if primary else NullWriter()
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
 
     stats = None
@@ -104,7 +107,7 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
             writer.on_save(it, eps, marker_order, beta_g, comp_g,
                            x_order=(sampler.cov_order(it)
                                     if opt.covariates else None))
-        if on_log:
+        if on_log and primary:
             print(f"{it}. m0={int(h['m0'].sum())}; "
                   f"mu={float(h['mu']):.5f}; alpha={float(h['alpha']):.5f}; "
                   f"sigmaG={float(h['sigma_g'].sum()):.5f} "

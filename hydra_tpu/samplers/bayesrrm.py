@@ -59,7 +59,8 @@ from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.io.pheno import center_and_scale
 from hydra_tpu.ops.decode import decode_planes_hp
 from hydra_tpu.parallel.mesh import (
-    IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
+    IND_AXIS, MARKER_AXIS, det_psum, hier_psum, make_mesh, marker_axes,
+    mesh_axes)
 from hydra_tpu.utils import dist
 
 # Auto-enable budget for the int8 decoded-plane cache (ops/planes.py):
@@ -137,6 +138,7 @@ class BayesRRmConfig:
     use_planes: bool = False   # cached int8 decoded planes (ops/planes.py)
     interpret: bool = False    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes anywhere (fast kernels)
+    det_sync: bool = False     # topology-invariant reductions (--det-sync)
     dtype: str = "float32"     # accumulation dtype (--dtype; reference is f64)
     # FH hyper-priors (options.hpp:89-96)
     v0L: float = 3.0
@@ -202,6 +204,19 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     # shards, ICI-first (see parallel/mesh.py).
     ma = marker_axes(cfg.n_dcn)
     dev = jax.lax.axis_index(ma)
+    # --det-sync: topology-invariant all-reduce (all_gather + fixed-order
+    # local sum) so 1 x 8 and 2 x 4 process layouts give BITWISE-identical
+    # chains (parallel/mesh.py det_psum)
+    if cfg.det_sync:
+        def ma_sum(v):
+            return det_psum(v, ma, cfg.n_dev)
+
+        def hpsum(v, n_dcn):
+            return det_psum(v, ma, cfg.n_dev)
+    else:
+        def ma_sum(v):
+            return jax.lax.psum(v, ma)
+        hpsum = hier_psum
 
     # Individual-axis sharding: eps / ind_mask / x_cov / packed byte columns
     # arrive as local N/n_ind chunks; N-length reductions need one extra psum
@@ -624,9 +639,9 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                 d_eps = window_axpy(pk, c1, c2, vma=vma_axes)  # (4, NB)
         else:
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
-        d_eps = hier_psum(d_eps, cfg.n_dcn)
+        d_eps = hpsum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
-        sum_abs_db = sum_abs_db + jax.lax.psum(jnp.sum(jnp.abs(dbeta)), ma)
+        sum_abs_db = sum_abs_db + ma_sum(jnp.sum(jnp.abs(dbeta)))
 
         # component-assignment counts, active markers only (BayesRRm.cpp:1904)
         flat = grp_w * cfg.k + comp_w
@@ -741,7 +756,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                         window=W, n_mix=cfg.k, complete=cfg.complete,
                         ind_mask4=mask4, vma=vma_axes,
                         interpret=cfg.interpret)
-                d_eps = hier_psum(eps_new_d - eps_d, cfg.n_dcn)
+                d_eps = hpsum(eps_new_d - eps_d, cfg.n_dcn)
                 eps_d = eps_d + d_eps
                 out_acc = jax.lax.dynamic_update_slice(
                     out_acc, out_w, (w * W, 0))
@@ -769,7 +784,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
                     window=cfg.window, n_mix=cfg.k, complete=cfg.complete,
                     ind_mask4=mask4, win_perm=wp_arg,
                     vma=vma_axes, interpret=cfg.interpret)
-            eps = jax.lax.psum(interleave(eps_new_d), ma)
+            eps = ma_sum(interleave(eps_new_d))
         else:
             pk_shuf = jnp.take(packed, perm, axis=0)
             # single-decode variant (decode each window's bytes ONCE through
@@ -807,7 +822,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             # numerically the identity (mega is gated to n_dev == 1) but
             # marks the residual replicated again for shard_map's vma
             # checker — the mega path's analogue of the per-window hier_psum
-            eps = jax.lax.psum(interleave(eps_new_d), ma)
+            eps = ma_sum(interleave(eps_new_d))
         bnew_s = out_m[:, 0]
         comp_s = out_m[:, 1].astype(jnp.int32)
         acum_s = out_m[:, 2]
@@ -822,7 +837,7 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             act_s, grp_s * cfg.k + comp_s,
             num_segments=cfg.num_groups * cfg.k
         ).reshape(cfg.num_groups, cfg.k)
-        sum_abs_db = jax.lax.psum(jnp.sum(jnp.abs(dbeta_s)), ma)
+        sum_abs_db = ma_sum(jnp.sum(jnp.abs(dbeta_s)))
         if cfg.fh:
             rate = 0.5 * bnew_s * bnew_s / state.tau + cfg.v0L / nu_w_s
             if blockslot:
@@ -847,9 +862,9 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
             eps = interleave(eps)
 
     # ---- cross-shard reductions (BayesRRm.cpp:2515-2521) ----
-    cass = jax.lax.psum(cass, ma)
+    cass = ma_sum(cass)
     bsqn_loc = jax.ops.segment_sum(beta * beta, groups, num_segments=cfg.num_groups)
-    beta_sqn = jax.lax.psum(bsqn_loc, ma)
+    beta_sqn = ma_sum(bsqn_loc)
 
     # ---- per-group hyper-parameter updates (BayesRRm.cpp:2525-2578) ----
     m0 = mtot_grp.astype(f32) - cass[:, 0]
@@ -857,9 +872,8 @@ def _local_iteration(cfg: BayesRRmConfig, seed, it, state: BayesRRmState,
     skip = (mtot_grp == 0) | (m0 == 0) | (cass_sum == 0)
 
     if cfg.fh:
-        scaled_bsqn = jax.lax.psum(
-            jnp.sum(jnp.where(valid > 0, beta * beta / jnp.maximum(lam, 1e-30), 0.0)),
-            ma)
+        scaled_bsqn = ma_sum(
+            jnp.sum(jnp.where(valid > 0, beta * beta / jnp.maximum(lam, 1e-30), 0.0)))
         tau = state.tau
         hyp_tau = state.hyp_tau
         c_slab = state.c_slab
@@ -946,7 +960,7 @@ class BayesRRm:
                  fh_params: Optional[dict] = None,
                  dtype: str = "float32", plane_cache: str = "auto",
                  mega: str = "auto", cross_sync: int = 0,
-                 schedule: str = "auto"):
+                 schedule: str = "auto", det_sync: bool = False):
         if dtype == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "--dtype float64 requires x64 mode "
@@ -958,8 +972,16 @@ class BayesRRm:
         self.seed = seed
 
         geno = dataset.geno
-        starts, lengths, m_loc = shard_layout(geno.m, n_dev, window, dataset.blocks)
+        starts, lengths, m_loc = shard_layout(geno.m_global, n_dev, window,
+                                              dataset.blocks)
         self.shard_starts, self.shard_lengths, self.m_loc = starts, lengths, m_loc
+        # multi-process (jax.distributed): this process materializes only its
+        # own marker shards; geno.packed may hold just the local rows
+        self._n_procs = jax.process_count()
+        if self._n_procs > 1 and n_ind > 1:
+            raise NotImplementedError(
+                "--ind-shards with multi-process execution is not supported "
+                "yet (packed byte columns would shard across hosts)")
 
         K = dataset.mS.shape[1]
         fhp = fh_params or {}
@@ -974,7 +996,7 @@ class BayesRRm:
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
-        complete = bool(np.asarray(geno.nm).sum() == 0)
+        complete = bool(geno.nm_global_sum == 0)
         tpu_f32 = jax.default_backend() == "tpu" and dtype == "float32"
         # cached int8 decoded planes (ops/planes.py): stale complete-data
         # windows whose PER-SHARD planes fit the HBM budget — the
@@ -985,7 +1007,8 @@ class BayesRRm:
         # (and takes precedence over the mega auto-gate).
         planes_bytes = m_loc * geno.n_pad          # per marker shard
         planes_ok = (tpu_f32 and window >= 8 and not exact and complete
-                     and n_ind == 1 and plane_cache != "off")
+                     and n_ind == 1 and plane_cache != "off"
+                     and jax.process_count() == 1)
         forced_planes = planes_ok and plane_cache == "on"
         # mega="on" forces the whole-sweep kernel beyond the auto gates
         # (still single-shard only); "off" disables it. Exact mode has its
@@ -1094,12 +1117,12 @@ class BayesRRm:
                   "float32, stale windows >= 8, complete data, no "
                   "ind-sharding)", flush=True)
         self.cfg = BayesRRmConfig(
-            n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
+            n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m_global, m_loc=m_loc,
             n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             exact=exact, fh=fh, shuffle=shuffle, dtype=dtype,
-            cross_sync=cs, schedule=schedule,
+            cross_sync=cs, schedule=schedule, det_sync=det_sync,
             # complete data (no missing genotypes among real individuals):
             # mask-plane work in the window kernels degenerates to sums
             complete=complete,
@@ -1132,7 +1155,23 @@ class BayesRRm:
         _t0 = time.perf_counter()
         m_glob = cfg.m_glob
         nb = geno.packed.shape[1]
-        packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
+        # multi-process: the packed-byte buffer holds only this process's
+        # contiguous slot range (each host loaded only its own .bed rows);
+        # slot-indexed metadata stays global-shape (small) and remote slots
+        # simply keep fill values — make_array_from_callback never reads them.
+        if self._n_procs > 1:
+            from hydra_tpu.parallel.distributed import local_marker_shards
+            local_d = local_marker_shards(self.mesh)
+            if local_d != list(range(min(local_d), max(local_d) + 1)):
+                raise NotImplementedError(
+                    "non-contiguous local marker shards")
+            slot_base = min(local_d) * m_loc
+            packed_g = np.full((len(local_d) * m_loc, nb), 0b01010101,
+                               dtype=np.uint8)
+        else:
+            local_d = list(range(n_dev))
+            slot_base = 0
+            packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
         groups_g = np.zeros(m_glob, dtype=np.int32)
         mave_g = np.zeros(m_glob, dtype=np.float32)
         mstd_g = np.zeros(m_glob, dtype=np.float32)
@@ -1141,10 +1180,13 @@ class BayesRRm:
         for d in range(n_dev):
             s, l = int(starts[d]), int(lengths[d])
             sl = slice(d * m_loc, d * m_loc + l)
-            packed_g[sl] = geno.packed[s: s + l]
+            if d in local_d:
+                ls = s - geno.marker_offset
+                loc = slice(sl.start - slot_base, sl.stop - slot_base)
+                packed_g[loc] = geno.packed[ls: ls + l]
+                mave_g[sl] = geno.mave[ls: ls + l]
+                mstd_g[sl] = geno.mstd[ls: ls + l]
             groups_g[sl] = dataset.groups[s: s + l]
-            mave_g[sl] = geno.mave[s: s + l]
-            mstd_g[sl] = geno.mstd[s: s + l]
             valid_g[sl] = 1.0
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
         if cfg.schedule == "block":
@@ -1158,8 +1200,13 @@ class BayesRRm:
             rs = np.random.RandomState((seed ^ 0x5EED1) & 0x7FFFFFFF)
             for d in range(n_dev):
                 sl = slice(d * m_loc, (d + 1) * m_loc)
+                # every process draws ALL shard permutations in order so the
+                # RandomState stream (and thus every shard's layout) is
+                # process-count invariant
                 p = rs.permutation(m_loc)
-                packed_g[sl] = packed_g[sl][p]
+                if d in local_d:
+                    loc = slice(sl.start - slot_base, sl.stop - slot_base)
+                    packed_g[loc] = packed_g[loc][p]
                 groups_g[sl] = groups_g[sl][p]
                 mave_g[sl] = mave_g[sl][p]
                 mstd_g[sl] = mstd_g[sl][p]
@@ -1180,7 +1227,9 @@ class BayesRRm:
             shard_m2 = NamedSharding(self.mesh, P(max_, None))
             shard_i = shard_i2 = rep
         self._shard_i = shard_i
-        put = jax.device_put
+        from hydra_tpu.parallel.distributed import put_global
+        put = put_global if self._n_procs > 1 else jax.device_put
+        self._put = put
         # device bytes are H-PACKED (crumb = 2 - geno, missing = 3): a
         # one-time host LUT that shrinks every in-kernel plane decode to
         # shift+and+cast (ops/decode.py). Host-side consumers (planes
@@ -1189,7 +1238,17 @@ class BayesRRm:
         _t1 = time.perf_counter()
         packed_h = hpack_bytes(packed_g)
         _t2 = time.perf_counter()
-        self.packed = put(packed_h, shard_m2)
+        if self._n_procs > 1:
+            # compact local buffer -> global array: shard row ranges are
+            # global, shift them into this process's buffer
+            def _pk_cb(idx, _pk=packed_h):
+                r0, r1, _ = idx[0].indices(m_glob)
+                return _pk[r0 - slot_base: r1 - slot_base, idx[1]]
+
+            self.packed = jax.make_array_from_callback(
+                (m_glob, nb), shard_m2, _pk_cb)
+        else:
+            self.packed = put(packed_h, shard_m2)
         jax.block_until_ready(self.packed)
         _t3 = time.perf_counter()
         self.setup_timings = {"layout_s": _t1 - _t0, "hpack_s": _t2 - _t1,
@@ -1314,7 +1373,7 @@ class BayesRRm:
         # constructor's consts note: sequential small puts stall minutes
         # each on tunneled backends)
         ndt = np.float64 if cfg.dtype == "float64" else np.float32
-        return jax.device_put(
+        return self._put(
             BayesRRmState(
                 eps=eps,
                 beta=np.zeros(cfg.m_glob, ndt),
@@ -1352,7 +1411,7 @@ class BayesRRm:
         sel = self.slot_to_marker >= 0
         beta_slot[sel] = rd.beta[self.slot_to_marker[sel]]
         comp_slot[sel] = rd.components[self.slot_to_marker[sel]]
-        put = jax.device_put
+        put = self._put
         st = st._replace(
             eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.asarray(beta_slot), self._shard_m),

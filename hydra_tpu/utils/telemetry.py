@@ -75,10 +75,11 @@ def measure_sync_profile(mesh, n_len: int, n_windows: int,
         psum_eps, mesh=mesh, in_specs=espec, out_specs=espec))
     f_scal = jax.jit(jax.shard_map(
         psum_eps, mesh=mesh, in_specs=P(), out_specs=P()))
-    eps = jax.device_put(jnp.zeros(n_len, jnp.float32),
-                         NamedSharding(mesh, espec))
-    scal = jax.device_put(jnp.zeros((), jnp.float32),
-                          NamedSharding(mesh, P()))
+    from hydra_tpu.parallel.distributed import put_global
+    eps = put_global(jnp.zeros(n_len, jnp.float32),
+                     NamedSharding(mesh, espec))
+    scal = put_global(jnp.zeros((), jnp.float32),
+                      NamedSharding(mesh, P()))
     prof.ar2_s = _time_op(f_eps, eps, reps)
     prof.ar1_s = _time_op(f_scal, scal, reps)
     return prof
