@@ -36,7 +36,7 @@ def run_bayesw(opt: Options, dataset: Optional[Dataset] = None,
                      seed=opt.seed, quad_points=int(opt.quad_points),
                      n_devices=opt.n_devices, n_ind=opt.ind_shards,
                      n_dcn=opt.dcn_slices, mega=opt.mega,
-                     schedule=opt.schedule)
+                     schedule=opt.schedule, det_sync=bool(opt.det_sync))
 
     if rd is not None:
         state = sampler.init_state_from_restart(rd)

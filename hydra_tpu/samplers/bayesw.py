@@ -46,7 +46,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes_hp
 from hydra_tpu.parallel.mesh import (
-    IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
+    IND_AXIS, MARKER_AXIS, det_psum, hier_psum, make_mesh, marker_axes,
+    mesh_axes)
 from hydra_tpu.utils import dist
 from hydra_tpu.utils.slice_sampler import (slice_noise, slice_sample,
                                            slice_sample_noise)
@@ -102,6 +103,7 @@ class BayesWConfig:
     use_mega: bool = False    # whole-sweep mega-kernel (single-shard stale)
     interpret: bool = False   # pallas interpret mode (tests)
     complete: bool = False    # no missing genotypes (fast kernels)
+    det_sync: bool = False    # topology-invariant reductions (--det-sync)
 
     @property
     def n_windows(self) -> int:
@@ -140,6 +142,17 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
     Q = cfg.quad_n
     ma = marker_axes(cfg.n_dcn)
     dev = jax.lax.axis_index(ma)
+    # --det-sync: topology-invariant all-reduce (see bayesrrm / mesh.det_psum)
+    if cfg.det_sync:
+        def ma_sum(v):
+            return det_psum(v, ma, cfg.n_dev)
+
+        def hpsum(v, n_dcn):
+            return det_psum(v, ma, cfg.n_dev)
+    else:
+        def ma_sum(v):
+            return jax.lax.psum(v, ma)
+        hpsum = hier_psum
 
     # N-sharding (see bayesrrm._local_iteration): partial N-length sums are
     # combined with one psum over IND_AXIS; identity when n_ind == 1. The
@@ -395,7 +408,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             xt = (A - mave_w[:, None] * B) * inv_sd[:, None]
             d_eps = jnp.dot(dbeta, xt, preferred_element_type=f32, precision=_HI)
             mask_l = ind_mask
-        d_eps = hier_psum(d_eps, cfg.n_dcn)
+        d_eps = hpsum(d_eps, cfg.n_dcn)
         eps = eps + d_eps
         vi = jnp.exp(alpha * eps - EULER_MASCHERONI) * mask_l  # :1832-1834
 
@@ -496,7 +509,7 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
             vma=vma_axes, interpret=cfg.interpret)
         # identity psum (mega is gated to one marker shard) marking the
         # residual replicated again for shard_map's vma checker
-        eps = jax.lax.psum(interleave(eps_new_d), ma)
+        eps = ma_sum(interleave(eps_new_d))
         bnew_s = out_m[:, 0]
         comp_s = out_m[:, 1].astype(jnp.int32)
         if blockslot:      # out already in slot order: no scatter
@@ -522,10 +535,9 @@ def _local_iteration(cfg: BayesWConfig, gh_x, gh_w, seed, it,
         if cfg.use_pallas:
             eps = interleave(eps)
 
-    cass = jax.lax.psum(cass, ma)
-    beta_sqn = jax.lax.psum(
-        jax.ops.segment_sum(beta * beta, groups, num_segments=cfg.num_groups),
-        ma)
+    cass = ma_sum(cass)
+    beta_sqn = ma_sum(
+        jax.ops.segment_sum(beta * beta, groups, num_segments=cfg.num_groups))
 
     # ---- hypers (BayesW.cpp:1885-1905) ----
     m0 = mtot_grp.astype(f32) - cass[:, 0]
@@ -550,7 +562,7 @@ class BayesW:
                  shuffle: bool = True, seed: int = 0, quad_points: int = 25,
                  mesh: Optional[Mesh] = None, n_devices: int = 0,
                  n_ind: int = 1, n_dcn: int = 1, mega: str = "auto",
-                 schedule: str = "auto"):
+                 schedule: str = "auto", det_sync: bool = False):
         if dataset.fail is None:
             raise ValueError("BayesW requires failure indicators (--failure)")
         self.ds = dataset
@@ -560,9 +572,13 @@ class BayesW:
         self.seed = seed
 
         geno = dataset.geno
-        starts, lengths, m_loc = shard_layout(geno.m, n_dev, window,
+        starts, lengths, m_loc = shard_layout(geno.m_global, n_dev, window,
                                               dataset.blocks)
         self.shard_starts, self.shard_lengths, self.m_loc = starts, lengths, m_loc
+        self._n_procs = jax.process_count()
+        if self._n_procs > 1 and n_ind > 1:
+            raise NotImplementedError(
+                "--ind-shards with multi-process execution is not supported")
 
         K = dataset.mS.shape[1]
         if geno.n_pad % (4 * n_ind):
@@ -598,12 +614,13 @@ class BayesW:
                       "streams windows in place; --schedule marker restores "
                       "the per-sweep marker shuffle)", flush=True)
         self.cfg = BayesWConfig(
-            n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc,
+            n_real=geno.n, n_pad=geno.n_pad, m_tot=geno.m_global, m_loc=m_loc,
             n_dev=n_dev, n_ind=n_ind, n_dcn=n_dcn, window=window, k=K,
             num_groups=dataset.num_groups,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             quad_n=quad_points, shuffle=shuffle, schedule=schedule,
-            complete=bool(np.asarray(geno.nm).sum() == 0),
+            complete=bool(geno.nm_global_sum == 0),
+            det_sync=det_sync,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
             # whole-sweep fusion (ops/sweep_kernel_bw.py): single marker
@@ -642,7 +659,20 @@ class BayesW:
 
         m_glob = cfg.m_glob
         nb = geno.packed.shape[1]
-        packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
+        # multi-process: compact local packed buffer, global-shape metadata
+        # (see bayesrrm.py — remote metadata slots keep fill values)
+        if self._n_procs > 1:
+            from hydra_tpu.parallel.distributed import local_marker_shards
+            local_d = local_marker_shards(self.mesh)
+            if local_d != list(range(min(local_d), max(local_d) + 1)):
+                raise NotImplementedError("non-contiguous local marker shards")
+            slot_base = min(local_d) * m_loc
+            packed_g = np.full((len(local_d) * m_loc, nb), 0b01010101,
+                               dtype=np.uint8)
+        else:
+            local_d = list(range(n_dev))
+            slot_base = 0
+            packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
         groups_g = np.zeros(m_glob, dtype=np.int32)
         mave_g = np.zeros(m_glob, dtype=np.float32)
         msd_g = np.zeros(m_glob, dtype=np.float32)
@@ -652,21 +682,27 @@ class BayesW:
         for d in range(n_dev):
             s, l = int(starts[d]), int(lengths[d])
             sl = slice(d * m_loc, d * m_loc + l)
-            packed_g[sl] = geno.packed[s: s + l]
+            if d in local_d:
+                ls = s - geno.marker_offset
+                loc = slice(sl.start - slot_base, sl.stop - slot_base)
+                packed_g[loc] = geno.packed[ls: ls + l]
+                mave_g[sl] = geno.mave[ls: ls + l]
+                msd_g[sl] = geno.msd[ls: ls + l]
+                sfail_g[sl] = sum_fail[ls: ls + l]
             groups_g[sl] = dataset.groups[s: s + l]
-            mave_g[sl] = geno.mave[s: s + l]
-            msd_g[sl] = geno.msd[s: s + l]
             valid_g[sl] = 1.0
-            sfail_g[sl] = sum_fail[s: s + l]
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
         if cfg.schedule == "block":
             # one-time decorrelating marker -> slot permutation (see
-            # bayesrrm.py: fixed window blocks must be random marker sets)
+            # bayesrrm.py: fixed window blocks must be random marker sets;
+            # every process draws ALL shard permutations in order)
             rs = np.random.RandomState((seed ^ 0x5EED1) & 0x7FFFFFFF)
             for d in range(n_dev):
                 sl = slice(d * m_loc, (d + 1) * m_loc)
                 p = rs.permutation(m_loc)
-                packed_g[sl] = packed_g[sl][p]
+                if d in local_d:
+                    loc = slice(sl.start - slot_base, sl.stop - slot_base)
+                    packed_g[loc] = packed_g[loc][p]
                 groups_g[sl] = groups_g[sl][p]
                 mave_g[sl] = mave_g[sl][p]
                 msd_g[sl] = msd_g[sl][p]
@@ -686,10 +722,21 @@ class BayesW:
             shard_m2 = NamedSharding(self.mesh, P(max_, None))
             shard_i = shard_i2 = rep
         self._shard_i = shard_i
-        put = jax.device_put
+        from hydra_tpu.parallel.distributed import put_global
+        put = put_global if self._n_procs > 1 else jax.device_put
+        self._put = put
         # device bytes are H-PACKED (ops/decode.py): minimal in-kernel decode
         from hydra_tpu.ops.decode import hpack_bytes
-        self.packed = put(hpack_bytes(packed_g), shard_m2)
+        packed_h = hpack_bytes(packed_g)
+        if self._n_procs > 1:
+            def _pk_cb(idx, _pk=packed_h):
+                r0, r1, _ = idx[0].indices(m_glob)
+                return _pk[r0 - slot_base: r1 - slot_base, idx[1]]
+
+            self.packed = jax.make_array_from_callback(
+                (m_glob, nb), shard_m2, _pk_cb)
+        else:
+            self.packed = put(packed_h, shard_m2)
         # non-zero mixture values only (cVa in bW stores km1 columns,
         # BayesW.cpp:781-786)
         mtot_grp = np.bincount(dataset.groups, minlength=dataset.num_groups)
@@ -755,7 +802,7 @@ class BayesW:
         eps[: cfg.n_real] = y - mu
 
         # one batched pytree device_put (see constructor note)
-        return jax.device_put(
+        return self._put(
             BayesWState(
                 eps=eps,
                 beta=np.zeros(cfg.m_glob, np.float32),
@@ -780,7 +827,7 @@ class BayesW:
         sel = self.slot_to_marker >= 0
         beta_slot[sel] = rd.beta[self.slot_to_marker[sel]]
         comp_slot[sel] = rd.components[self.slot_to_marker[sel]]
-        put = jax.device_put
+        put = self._put
         st = st._replace(
             eps=put(jnp.asarray(eps), self._shard_i),
             beta=put(jnp.asarray(beta_slot), self._shard_m),

@@ -189,3 +189,50 @@ def test_det_sync_single_process_valid_chain(mp_data, tmp_path):
     for (ia, va), (ib, vb) in zip(ra, rb):
         assert ia == ib
         np.testing.assert_allclose(va, vb, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def mp_bw_data(tmp_path_factory):
+    """Survival data: phenotype = log event times, .fail indicators."""
+    from tests.conftest import make_synthetic_bed
+
+    tmp = tmp_path_factory.mktemp("mpbw")
+    base, geno = make_synthetic_bed(tmp, 64, 100, seed=11)
+    rs = np.random.RandomState(3)
+    log_t = 3.0 + rs.gumbel(0, 0.3, 100)
+    fail = (rs.random(100) < 0.8).astype(int)
+    with open(base + ".phen", "w") as fh:
+        for i in range(100):
+            fh.write(f"per{i} per{i} {log_t[i]:.5f}\n")
+    with open(base + ".fail", "w") as fh:
+        for i in range(100):
+            fh.write(f"{fail[i]}\n")
+    return base
+
+
+@pytest.mark.slow
+def test_bayesw_two_process_bitwise_match(mp_bw_data, tmp_path):
+    sp = str(tmp_path / "sp")
+    mp = str(tmp_path / "mp")
+    args = ["--mpibayes", "bayesWMPI", "--bfile", mp_bw_data,
+            "--pheno", mp_bw_data + ".phen", "--failure",
+            mp_bw_data + ".fail", "--mcmc-out-dir", None,
+            "--mcmc-out-name", "ref", "--chain-length", "24", "--thin", "3",
+            "--save", "12", "--seed", "42", "--S", "0.01,0.1",
+            "--sync-rate", "8", "--det-sync", "1"]
+
+    def argv(outdir):
+        a = list(args)
+        a[a.index(None)] = outdir
+        return a
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run([sys.executable, "-m", "hydra_tpu.cli"] + argv(sp),
+                       env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    procs = launch(2, 4, argv(mp))
+    codes = wait_all(procs, timeout=900)
+    assert codes == [0, 0], codes
+    _assert_identical(sp, mp, files=("ref.csv", "ref.bet", "ref.cpn",
+                                     "ref.eps.0", "ref.mus.0"))
