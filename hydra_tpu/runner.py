@@ -68,6 +68,25 @@ def _fetch_host(tree: dict) -> dict:
     return fetch_global(tree)
 
 
+def _mp_marker_slice(opt: Options, m: int, blocks=None):
+    """Per-host read range: each process loads only the .bed rows of its own
+    marker shards (the MPI-IO collective-read analogue, data.cpp:671-739).
+    Shard starts depend only on (m, n_dev, blocks), so this pre-computes the
+    same layout the sampler will build. (0, None) single-process."""
+    import jax
+    if jax.process_count() <= 1 or not opt.read_from_bed_file:
+        return 0, None
+    from hydra_tpu.data.genotypes import shard_layout
+    n_dev = opt.n_devices or len(jax.devices())
+    starts, lens, _ = shard_layout(m, n_dev, max(opt.window, 1), blocks)
+    me = jax.process_index()
+    devs = jax.devices()[:n_dev]
+    ids = [i for i, dv in enumerate(devs) if dv.process_index == me]
+    lo = int(starts[min(ids)])
+    hi = int(starts[max(ids)] + lens[max(ids)])
+    return lo, hi - lo
+
+
 def dataset_from_options(opt: Options) -> Dataset:
     """Input dispatch mirroring main.cpp:60-157."""
     n, m = opt.number_individuals, opt.number_markers
@@ -98,22 +117,7 @@ def dataset_from_options(opt: Options) -> Dataset:
     blocks = (groups_io.read_marker_blocks_file(opt.marker_blocks_file)
               if opt.marker_blocks_file else None)
 
-    marker_offset, marker_count = 0, None
-    import jax
-    if jax.process_count() > 1 and opt.read_from_bed_file:
-        # per-host read: each process loads only the .bed rows of its own
-        # marker shards (the MPI-IO collective-read analogue,
-        # data.cpp:671-739). Shard starts depend only on (m, n_dev, blocks),
-        # so this pre-computes the same layout the sampler will build.
-        from hydra_tpu.data.genotypes import shard_layout
-        n_dev = opt.n_devices or len(jax.devices())
-        starts, lens, _ = shard_layout(m, n_dev, max(opt.window, 1), blocks)
-        me = jax.process_index()
-        devs = jax.devices()[:n_dev]
-        ids = [i for i, dv in enumerate(devs) if dv.process_index == me]
-        lo = int(starts[min(ids)])
-        hi = int(starts[max(ids)] + lens[max(ids)])
-        marker_offset, marker_count = lo, hi - lo
+    marker_offset, marker_count = _mp_marker_slice(opt, m, blocks)
 
     return load_dataset(
         bed_basename=opt.bed_file if opt.read_from_bed_file else "",
@@ -163,8 +167,10 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         from hydra_tpu.io import groups as groups_io
         grp = groups_io.read_group_file(opt.group_index_file)
         mS = groups_io.read_ms_file(opt.group_mixture_file)
+    mo, mc = _mp_marker_slice(opt, m, None)
     ds = load_dataset(bed_basename=opt.bed_file, pheno=ph, n=n, m=m,
-                      groups=grp, mS=mS, S=opt.S)
+                      groups=grp, mS=mS, S=opt.S,
+                      marker_offset=mo, marker_count=mc)
     if opt.covariates:
         # mt keeps all individuals (NaN masks, not removal) — covariates
         # are read full-N; per-trait masking happens inside the sampler
@@ -185,7 +191,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                          shuffle=bool(opt.shuffle_markers), seed=opt.seed,
                          n_devices=opt.n_devices, n_ind=opt.ind_shards,
                          n_dcn=opt.dcn_slices, mega=opt.mega,
-                         schedule=opt.schedule)
+                         schedule=opt.schedule, det_sync=bool(opt.det_sync))
     start_it = 0
     if rds is not None:
         import jax.numpy as jnp
@@ -199,27 +205,26 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
             eps[: ds.n, t] = rd.eps
             beta[sel, t] = rd.beta[sampler.slot_to_marker[sel]]
             comps[sel, t] = rd.components[sampler.slot_to_marker[sel]]
+        _mput = sampler._put
         state = state._replace(
-            eps=_jax.device_put(jnp.asarray(eps, jnp.float32),
-                                sampler._shard_i2),
-            beta=_jax.device_put(jnp.asarray(beta, jnp.float32),
-                                 sampler._shard_m2),
-            components=_jax.device_put(jnp.asarray(comps, jnp.int32),
-                                       sampler._shard_m2),
-            mu=_jax.device_put(jnp.asarray([rd.mu for rd in rds], jnp.float32),
-                               sampler._rep),
-            sigma_e=_jax.device_put(
+            eps=_mput(jnp.asarray(eps, jnp.float32), sampler._shard_i2),
+            beta=_mput(jnp.asarray(beta, jnp.float32), sampler._shard_m2),
+            components=_mput(jnp.asarray(comps, jnp.int32),
+                             sampler._shard_m2),
+            mu=_mput(jnp.asarray([rd.mu for rd in rds], jnp.float32),
+                     sampler._rep),
+            sigma_e=_mput(
                 jnp.asarray([rd.sigma_e for rd in rds], jnp.float32),
                 sampler._rep),
-            sigma_g=_jax.device_put(
+            sigma_g=_mput(
                 jnp.asarray(np.stack([rd.sigma_g for rd in rds]), jnp.float32),
                 sampler._rep),
-            est_pi=_jax.device_put(
+            est_pi=_mput(
                 jnp.asarray(np.stack([rd.est_pi for rd in rds]), jnp.float32),
                 sampler._rep),
         )
         if opt.covariates and all(rd.gamma is not None for rd in rds):
-            state = state._replace(gamma=_jax.device_put(
+            state = state._replace(gamma=_mput(
                 jnp.asarray(np.stack([rd.gamma for rd in rds], axis=1),
                             jnp.float32), sampler._rep))
         start_it = rds[0].start_iteration
@@ -227,11 +232,15 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
         mcmc_out = opt.mcmc_out
     else:
         state = sampler.init_state()
+    from hydra_tpu.outputs.writers import NullWriter
+    from hydra_tpu.parallel.distributed import is_primary
+    primary = is_primary()
     writers = [
         McmcWriter(mcmc_out + f".t{t}", ds.m, ds.n, ds.num_groups,
                    ds.mS.shape[1], opt.thin, opt.save, opt.seed,
                    covariates=opt.covariates, window=opt.window,
                    exact=opt.exact, schedule=sampler.cfg.schedule)
+        if primary else NullWriter()
         for t in range(T)
     ]
     marker_order = sampler.slot_to_marker[sampler.slot_to_marker >= 0].astype(np.int32)
@@ -287,7 +296,7 @@ def run_bayesrrm_mt(opt: Options, verbose: bool = True) -> dict:
                 w.on_save(it, eps_all[: ds.n, t], marker_order,
                           beta_g[:, t], comp_t,
                           gamma=(gamma_all[:, t] if opt.covariates else None))
-        if on_log:
+        if on_log and primary:
             sg = h["sigma_g"].sum(axis=1)
             se = h["sigma_e"]
             print(f"RESULT : it {it:4d}: h2 per trait = "

@@ -49,7 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hydra_tpu.data.genotypes import Dataset, shard_layout
 from hydra_tpu.ops.decode import decode_planes_hp
 from hydra_tpu.parallel.mesh import (
-    IND_AXIS, MARKER_AXIS, hier_psum, make_mesh, marker_axes, mesh_axes)
+    IND_AXIS, MARKER_AXIS, det_psum, hier_psum, make_mesh, marker_axes,
+    mesh_axes)
 from hydra_tpu.samplers.bayesrrm import S02E, S02F, V0E, V0G_DEFAULT, S02G_DEFAULT
 from hydra_tpu.utils import dist
 
@@ -77,7 +78,8 @@ class MtConfig:
     use_pallas: bool = False   # fused multi-trait window kernels (TPU)
     use_mega: bool = False     # whole-sweep mt mega-kernel (single shard)
     use_wmega: bool = False    # per-window fused mt kernels (multi-shard)
-    interpret: bool = False    # run kernels in interpret mode (tests only)
+    interpret: bool = False
+    det_sync: bool = False    # topology-invariant reductions (--det-sync)    # run kernels in interpret mode (tests only)
     complete: bool = False     # no missing genotypes (fast kernels)
     exact: bool = False        # Gram-corrected exact sequential semantics
     full_pheno: bool = False   # no NaN phenotypes: trait-independent Gram
@@ -222,6 +224,17 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
     B_cs = min(cfg.cross_sync, W) if cfg.cross_sync > 0 else W
     local_exact = cfg.n_dev == 1 or B_cs >= W
     ma = marker_axes(cfg.n_dcn)
+    # --det-sync: topology-invariant all-reduce (see parallel/mesh.det_psum)
+    if cfg.det_sync:
+        def ma_sum(v):
+            return det_psum(v, ma, cfg.n_dev)
+
+        def hpsum(v, n_dcn):
+            return det_psum(v, ma, cfg.n_dev)
+    else:
+        def ma_sum(v):
+            return jax.lax.psum(v, ma)
+        hpsum = hier_psum
     dev = jax.lax.axis_index(ma)
 
     # N-sharding (see bayesrrm._local_iteration): eps/trait_mask/packed byte
@@ -458,11 +471,11 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
             else:
                 d_eps = window_axpy_mt(pk, dbeta.T, c2,
                                        vma=vma_axes)      # (4T, NB)
-            d_eps = hier_psum(d_eps, cfg.n_dcn) * tm_t
+            d_eps = hpsum(d_eps, cfg.n_dcn) * tm_t
         else:
             d1 = jnp.dot(A.T, dbeta, preferred_element_type=f32, precision=_HI)    # (N, T)
             d2 = jnp.dot(B.T, dbeta * mave_w, preferred_element_type=f32, precision=_HI)
-            d_eps = hier_psum(d1 - d2, cfg.n_dcn) * trait_mask
+            d_eps = hpsum(d1 - d2, cfg.n_dcn) * trait_mask
         eps = eps + d_eps
 
         flat = (grp_w[:, None] * cfg.k + comp).reshape(-1)   # (W*T,)
@@ -550,7 +563,7 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
                 interpret=cfg.interpret)
         # identity on the single shard the mega is gated to, but marks the
         # residual replicated again for shard_map's vma checker
-        eps = jax.lax.psum(interleave_mt(eps_new_t, T), ma)
+        eps = ma_sum(interleave_mt(eps_new_t, T))
         bnew_s = out_m[:, :T]
         comp_s = out_m[:, T:2 * T].astype(jnp.int32)
         acum_s = out_m[:, 2 * T:3 * T]
@@ -582,10 +595,10 @@ def _local_iteration(cfg: MtConfig, seed, it, state: MtState,
         if cfg.use_pallas:
             eps = interleave_mt(eps, T)
 
-    cass = jax.lax.psum(cass, ma)
+    cass = ma_sum(cass)
     bsq = jax.vmap(lambda b: jax.ops.segment_sum(
         b * b, groups, num_segments=cfg.num_groups), in_axes=1)(beta)  # (T, G)
-    beta_sqn = jax.lax.psum(bsq, ma)
+    beta_sqn = ma_sum(bsq)
 
     # ---- per-(trait, group) hypers ----
     m0 = mtot_grp.astype(f32)[None, :] - cass[:, :, 0]
@@ -653,7 +666,7 @@ class BayesRRmMT:
                  seed: int = 0, mesh: Optional[Mesh] = None,
                  n_devices: int = 0, n_ind: int = 1, n_dcn: int = 1,
                  mega: str = "auto", cross_sync: int = 0,
-                 schedule: str = "auto"):
+                 schedule: str = "auto", det_sync: bool = False):
         self.ds = dataset
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, n_ind=n_ind, n_dcn=n_dcn)
@@ -664,15 +677,19 @@ class BayesRRmMT:
         if n != geno.n:
             raise ValueError("phenotype matrix does not match genotype N")
 
-        starts, lengths, m_loc = shard_layout(geno.m, n_dev, window,
+        starts, lengths, m_loc = shard_layout(geno.m_global, n_dev, window,
                                               dataset.blocks)
         self.shard_starts, self.shard_lengths, self.m_loc = starts, lengths, m_loc
+        self._n_procs = jax.process_count()
+        if self._n_procs > 1 and n_ind > 1:
+            raise NotImplementedError(
+                "--ind-shards with multi-process execution is not supported")
         K = dataset.mS.shape[1]
         if geno.n_pad % (4 * n_ind):
             raise ValueError(
                 f"individual padding {geno.n_pad} not divisible by "
                 f"4*n_ind={4 * n_ind}; use a power-of-two inds axis <= 128")
-        complete_b = bool(np.asarray(geno.nm).sum() == 0)
+        complete_b = bool(geno.nm_global_sum == 0)
         full_ph = bool(np.isfinite(phenos).all())
         # exact with W = 1 is the plain sequential schedule; skip the
         # (identity) Gram machinery there
@@ -714,10 +731,11 @@ class BayesRRmMT:
                       + (" and window-invariant exact chains" if exact_b
                          else "") + ")", flush=True)
         self.cfg = MtConfig(
-            n_pad=geno.n_pad, m_tot=geno.m, m_loc=m_loc, n_dev=n_dev,
+            n_pad=geno.n_pad, m_tot=geno.m_global, m_loc=m_loc, n_dev=n_dev,
             window=window, k=K, num_groups=dataset.num_groups, n_traits=T,
             n_cov=0 if dataset.X is None else dataset.X.shape[1],
             n_ind=n_ind, n_dcn=n_dcn, shuffle=shuffle, schedule=schedule,
+            det_sync=det_sync,
             # window >= 8: see BayesRRm — Mosaic rejects W=1 lane reduces
             use_pallas=(jax.default_backend() == "tpu" and window >= 8),
             # whole-sweep mt mega-kernels: single marker shard; VMEM-gated
@@ -793,7 +811,20 @@ class BayesRRmMT:
 
         m_glob = cfg.m_glob
         nb = geno.packed.shape[1]
-        packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
+        # multi-process: compact local packed buffer, global-shape metadata
+        # (see bayesrrm.py — remote metadata slots keep fill values)
+        if self._n_procs > 1:
+            from hydra_tpu.parallel.distributed import local_marker_shards
+            local_d = local_marker_shards(self.mesh)
+            if local_d != list(range(min(local_d), max(local_d) + 1)):
+                raise NotImplementedError("non-contiguous local marker shards")
+            slot_base = min(local_d) * m_loc
+            packed_g = np.full((len(local_d) * m_loc, nb), 0b01010101,
+                               dtype=np.uint8)
+        else:
+            local_d = list(range(n_dev))
+            slot_base = 0
+            packed_g = np.full((m_glob, nb), 0b01010101, dtype=np.uint8)
         groups_g = np.zeros(m_glob, dtype=np.int32)
         mave_g = np.zeros((m_glob, T), dtype=np.float32)
         mstd_g = np.zeros((m_glob, T), dtype=np.float32)
@@ -802,20 +833,26 @@ class BayesRRmMT:
         for d in range(n_dev):
             s, l = int(starts[d]), int(lengths[d])
             sl = slice(d * m_loc, d * m_loc + l)
-            packed_g[sl] = geno.packed[s: s + l]
+            if d in local_d:
+                ls = s - geno.marker_offset
+                loc = slice(sl.start - slot_base, sl.stop - slot_base)
+                packed_g[loc] = geno.packed[ls: ls + l]
+                mave_g[sl] = mave[ls: ls + l]
+                mstd_g[sl] = mstd[ls: ls + l]
             groups_g[sl] = dataset.groups[s: s + l]
-            mave_g[sl] = mave[s: s + l]
-            mstd_g[sl] = mstd[s: s + l]
             valid_g[sl] = 1.0
             slot_to_marker[d * m_loc: d * m_loc + l] = np.arange(s, s + l)
         if cfg.schedule == "block":
             # one-time decorrelating marker -> slot permutation (see
-            # bayesrrm.py: fixed window blocks must be random marker sets)
+            # bayesrrm.py: fixed window blocks must be random marker sets;
+            # every process draws ALL shard permutations in order)
             rs = np.random.RandomState((seed ^ 0x5EED1) & 0x7FFFFFFF)
             for d in range(n_dev):
                 sl = slice(d * m_loc, (d + 1) * m_loc)
                 pp = rs.permutation(m_loc)
-                packed_g[sl] = packed_g[sl][pp]
+                if d in local_d:
+                    loc = slice(sl.start - slot_base, sl.stop - slot_base)
+                    packed_g[loc] = packed_g[loc][pp]
                 groups_g[sl] = groups_g[sl][pp]
                 mave_g[sl] = mave_g[sl][pp]
                 mstd_g[sl] = mstd_g[sl][pp]
@@ -834,10 +871,21 @@ class BayesRRmMT:
             shard_mb = shard_m2
             shard_i2 = rep
         self._shard_i2 = shard_i2
-        put = jax.device_put
+        from hydra_tpu.parallel.distributed import put_global
+        put = put_global if self._n_procs > 1 else jax.device_put
+        self._put = put
         # device bytes are H-PACKED (ops/decode.py): minimal in-kernel decode
         from hydra_tpu.ops.decode import hpack_bytes
-        self.packed = put(hpack_bytes(packed_g), shard_mb)
+        packed_h = hpack_bytes(packed_g)
+        if self._n_procs > 1:
+            def _pk_cb(idx, _pk=packed_h):
+                r0, r1, _ = idx[0].indices(m_glob)
+                return _pk[r0 - slot_base: r1 - slot_base, idx[1]]
+
+            self.packed = jax.make_array_from_callback(
+                (m_glob, nb), shard_mb, _pk_cb)
+        else:
+            self.packed = put(packed_h, shard_mb)
         mS = dataset.mS.astype(np.float32)
         cvai = np.zeros_like(mS)
         cvai[:, 1:] = 1.0 / mS[:, 1:]
@@ -891,7 +939,7 @@ class BayesRRmMT:
         denom = mS[:, 1:].sum(axis=1, keepdims=True)
         pi0[:, :, 1:] = 0.5 * (mS[:, 1:] / denom)[None, :, :]
         # one batched pytree device_put (see constructor note)
-        return jax.device_put(
+        return self._put(
             MtState(
                 eps=eps,
                 beta=np.zeros((cfg.m_glob, T), np.float32),

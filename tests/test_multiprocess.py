@@ -236,3 +236,39 @@ def test_bayesw_two_process_bitwise_match(mp_bw_data, tmp_path):
     assert codes == [0, 0], codes
     _assert_identical(sp, mp, files=("ref.csv", "ref.bet", "ref.cpn",
                                      "ref.eps.0", "ref.mus.0"))
+
+
+@pytest.mark.slow
+def test_mt_two_process_bitwise_match(mp_data, tmp_path):
+    """Multi-trait (2 phenotypes incl. NaNs) 2x4 vs 1x8 bitwise parity."""
+    # second phenotype with NAs
+    ph2 = mp_data + ".phen2"
+    rs = np.random.RandomState(13)
+    with open(ph2, "w") as fh:
+        for i in range(120):
+            v = "NA" if rs.random() < 0.05 else f"{rs.randn():.5f}"
+            fh.write(f"per{i} per{i} {v}\n")
+    args = ["--mpibayes", "bayesMPI", "--bfile", mp_data,
+            "--pheno", mp_data + ".phen," + ph2,
+            "--mcmc-out-dir", None, "--mcmc-out-name", "ref",
+            "--chain-length", "24", "--thin", "3", "--save", "12",
+            "--seed", "42", "--S", "0.01,0.1", "--det-sync", "1"]
+
+    def argv(outdir):
+        a = list(args)
+        a[a.index(None)] = outdir
+        return a
+
+    sp = str(tmp_path / "sp")
+    mp = str(tmp_path / "mp")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run([sys.executable, "-m", "hydra_tpu.cli"] + argv(sp),
+                       env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    procs = launch(2, 4, argv(mp))
+    codes = wait_all(procs, timeout=900)
+    assert codes == [0, 0], codes
+    for t in (0, 1):
+        _assert_identical(sp, mp, files=(f"ref.t{t}.csv", f"ref.t{t}.bet",
+                                         f"ref.t{t}.cpn", f"ref.t{t}.eps.0"))
