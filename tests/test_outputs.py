@@ -428,3 +428,43 @@ def test_cli_bayesw_w1_exact_flag(tmp_path):
               "--seed", "22", "--window", "1", "--quad_points", "7"])
     rng = json.load(open(os.path.join(out, "w1") + ".rng.0"))
     assert rng["window"] == 1 and rng["exact"] is True
+
+
+def test_check_ram_sparse_simulation(tmp_path, synthetic_bed_factory):
+    """--check-RAM with sparse files reads the REAL .sl* counts and packs
+    nodes like the reference (checkRamUsage BayesRRm.cpp:2947-3084): max-node
+    RAM equals the hand-computed (n1+n2+nm)*4 bytes over each task range."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from hydra_tpu.io import sparse as sparse_io
+    from hydra_tpu.diag.ramcheck import check_ram_usage
+    from hydra_tpu.options import parse_args
+
+    base, geno = synthetic_bed_factory(40, 37, missing_rate=0.1)
+    sp = str(tmp_path / "sp")
+    sparse_io.write_sparse_files(base + ".bed", 37, 40, sp)
+    opt = parse_args(["--check-RAM", "--sparse-dir", str(tmp_path),
+                      "--sparse-basename", "sp", "--check-RAM-tasks", "5",
+                      "--check-RAM-tasks-per-node", "2",
+                      "--number-individuals", "37", "--number-markers", "40"])
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        res = check_ram_usage(opt)
+    assert res["nranks"] == 5 and res["nodes"] == 3
+    # hand-compute: task ranges from the same splitter over real counts
+    n1 = np.fromfile(sp + ".sl1", np.uint64)
+    n2 = np.fromfile(sp + ".sl2", np.uint64)
+    nm = np.fromfile(sp + ".slm", np.uint64)
+    from hydra_tpu.io.groups import assign_blocks_to_tasks
+    st, ln = assign_blocks_to_tasks(0, None, None, 40, 5)
+    per_task = [float((n1[s:s+l].sum() + n2[s:s+l].sum() + nm[s:s+l].sum())
+                      * 4 * 1e-9)
+                for s, l in zip(st.astype(int), ln.astype(int))]
+    # nodes: [t0,t1], [t2,t3], [t4] (nfull = 5 + 3*(1-2) = 2)
+    expect = [per_task[0] + per_task[1], per_task[2] + per_task[3],
+              per_task[4]]
+    np.testing.assert_allclose(res["node_gb"], expect, rtol=1e-12)
+    # total indices conservation
+    assert abs(sum(per_task) - res["max_gb"] - sum(r for r in res["node_gb"]
+               if r != res["max_gb"])) < 1e-12
