@@ -332,7 +332,7 @@ def sweep_stale_sd(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     return eps_out, out4.transpose(0, 2, 1).reshape(m_loc, 4)
 
 
-def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
+def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC, stub,
                         pk_ref, mrow_ref, mcol_ref, eps_in_ref, mask_ref,
                         sc_ref,
                         out_ref, eps_ref, s1_s, s2_s, gram_s, c_s, v_s):
@@ -359,6 +359,12 @@ def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
     @pl.when((w == 0) & (ph == 0))
     def _():
         eps_ref[t] = eps_in_ref[t]
+
+    if stub == "empty":   # profiling: grid + DMA floor
+        @pl.when((ph == 0) & (t == n_tiles - 1))
+        def _z():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+        return
 
     pk32 = pk_ref[:, :].astype(jnp.int32)      # (W, tb)
 
@@ -390,23 +396,26 @@ def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
                 b = jnp.sum(e).reshape(1, 1)   # mask dot == sum(eps)
                 c = jnp.sum(g, axis=1, keepdims=True)
                 vv = c if vv is None else vv + c
-                gb = g.astype(jnp.bfloat16)
-                gram_s[:, :] += jax.lax.dot_general(
-                    gb, gb, ct, precision=PREC, preferred_element_type=f32)
+                if stub != "no_gram":
+                    gb = g.astype(jnp.bfloat16)
+                    gram_s[:, :] += jax.lax.dot_general(
+                        gb, gb, ct, precision=PREC,
+                        preferred_element_type=f32)
             else:
                 b = jnp.sum(m * e, axis=1, keepdims=True)
                 x = (g - mave_c * m) * mstd_c  # (W, tb) standardized
                 # manual 2-pass f32 Gram (Mosaic ignores precision=HIGHEST
                 # for in-kernel dot_general); the two cross terms are
                 # transposes — see window_kernels._stats_kernel
-                xh = x.astype(jnp.bfloat16).astype(f32)
-                xl = x - xh
-                cross = jax.lax.dot_general(xh, xl, ct, precision=PREC,
+                if stub != "no_gram":
+                    xh = x.astype(jnp.bfloat16).astype(f32)
+                    xl = x - xh
+                    cross = jax.lax.dot_general(xh, xl, ct, precision=PREC,
+                                                preferred_element_type=f32)
+                    gram_s[:, :] += (
+                        jax.lax.dot_general(xh, xh, ct, precision=PREC,
                                             preferred_element_type=f32)
-                gram_s[:, :] += (
-                    jax.lax.dot_general(xh, xh, ct, precision=PREC,
-                                        preferred_element_type=f32)
-                    + cross + jnp.transpose(cross))
+                        + cross + jnp.transpose(cross))
             s2 = b if s2 is None else s2 + b
         s1_s[:, :] += s1
         if complete:
@@ -488,7 +497,8 @@ def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC,
                 out_ref[3:4, :] += dbeta_j * onehot
                 return 0
 
-            jax.lax.fori_loop(0, W, step, 0)
+            if stub not in ("no_recur",):
+                jax.lax.fori_loop(0, W, step, 0)
 
             c1 = out_ref[3:4, :] * mstd
             c2 = -c1 * mave
@@ -534,7 +544,7 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
                 complete: bool = False,
                 ind_mask4: Optional[jax.Array] = None, tile_bytes: int = 0,
                 win_perm: Optional[jax.Array] = None,
-                vma=None, interpret: bool = False
+                vma=None, interpret: bool = False, stub: str = ""
                 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full EXACT-mode Gibbs sweep in one kernel launch.
 
@@ -621,7 +631,8 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         ],
     )
     kern = functools.partial(_sweep_exact_kernel, n_mix, n_tiles, complete,
-                             jax.lax.Precision.HIGHEST if interpret else None)
+                             jax.lax.Precision.HIGHEST if interpret else None,
+                             stub)
     if win_perm is None:
         operands = (pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
         body = kern
