@@ -35,11 +35,12 @@ sys.path.insert(0, REPO)
 BED_MAGIC = b"\x6c\x1b\x01"
 
 
-def build_inputs(cache, m, workdir):
+def build_inputs(cache, m, workdir, model="brr"):
     os.makedirs(workdir, exist_ok=True)
     base = os.path.join(workdir, "soak")
     if os.path.exists(base + ".bed"):
         print(f"# reusing {base}.bed", flush=True)
+        _aux_inputs(base, model)
         return base
     t0 = time.time()
     with np.load(cache) as z:
@@ -61,15 +62,48 @@ def build_inputs(cache, m, workdir):
             fh.write(f"F{i} I{i} {y[i]:.6f}\n")
     print(f"# built {base}.* (M={m} N={n}) in {time.time() - t0:.0f} s",
           flush=True)
+    _aux_inputs(base, model)
     return base
 
 
-def cli_args(base, out, name, iters, seed=None, restart=False, device=""):
-    a = [sys.executable, "-m", "hydra_tpu.cli", "--mpibayes", "bayesMPI",
-         "--bfile", base, "--pheno", base + ".phen",
+def _aux_inputs(base, model):
+    """Survival (.fail + log-time phen) / second-trait files on demand."""
+    rs = np.random.RandomState(97)
+    y = np.array([float(l.split()[2]) for l in open(base + ".phen")])
+    n = len(y)
+    if model == "bw" and not os.path.exists(base + ".bw.phen"):
+        # log event times from the same genetic signal; 80% events
+        with open(base + ".bw.phen", "w") as fh:
+            for i in range(n):
+                fh.write(f"F{i} I{i} {4.0 + 0.25 * y[i]:.6f}\n")
+        with open(base + ".fail", "w") as fh:
+            for i in range(n):
+                fh.write(f"{int(rs.random() < 0.8)}\n")
+    if model == "mt" and not os.path.exists(base + ".t2.phen"):
+        # second trait: shared signal + noise, 2% NA (the NaN-mask path)
+        y2 = 0.7 * y + 0.71 * rs.randn(n) * y.std()
+        with open(base + ".t2.phen", "w") as fh:
+            for i in range(n):
+                v = "NA" if rs.random() < 0.02 else f"{y2[i]:.6f}"
+                fh.write(f"F{i} I{i} {v}\n")
+
+
+def cli_args(base, out, name, iters, seed=None, restart=False, device="",
+             model="brr"):
+    bayes = "bayesWMPI" if model == "bw" else "bayesMPI"
+    if model == "bw":
+        pheno = base + ".bw.phen"
+    elif model == "mt":
+        pheno = base + ".phen," + base + ".t2.phen"
+    else:
+        pheno = base + ".phen"
+    a = [sys.executable, "-m", "hydra_tpu.cli", "--mpibayes", bayes,
+         "--bfile", base, "--pheno", pheno,
          "--mcmc-out-dir", out, "--mcmc-out-name", name,
          "--chain-length", str(iters), "--thin", "5", "--save", "20",
          "--S", "0.001,0.01,0.1"]
+    if model == "bw":
+        a += ["--failure", base + ".fail", "--sync-rate", "64"]
     if device:
         a += ["--device", device]
     if seed is not None:
@@ -111,15 +145,20 @@ def main():
     ap.add_argument("--bench-ms", type=float, default=0.0,
                     help="sweep-only ms/sweep anchor for the overhead line "
                          "(e.g. the exact-mega bench row at this shape)")
+    ap.add_argument("--model", choices=("brr", "bw", "mt"), default="brr",
+                    help="sampler family to soak (VERDICT r4 item 7: BayesW "
+                         "and mt get the same SIGKILL/restart rehearsal)")
     args = ap.parse_args()
 
-    base = build_inputs(args.from_cache, args.m, args.workdir)
-    out = os.path.join(args.workdir, "mcmc")
+    base = build_inputs(args.from_cache, args.m, args.workdir, args.model)
+    sub = "mcmc" if args.model == "brr" else "mcmc_" + args.model
+    out = os.path.join(args.workdir, sub)
+    os.makedirs(out, exist_ok=True)
 
     # 1. uninterrupted run, timed
     t0 = time.time()
     subprocess.run(cli_args(base, out, "full", args.iters, seed=args.seed,
-                            device=args.device),
+                            device=args.device, model=args.model),
                    check=True, cwd=REPO,
                    stdout=open(os.path.join(args.workdir, "full.log"), "w"),
                    stderr=subprocess.STDOUT)
@@ -135,10 +174,11 @@ def main():
     # 2. cut run, SIGKILLed mid-flight
     proc = subprocess.Popen(
         cli_args(base, out, "cut", args.iters, seed=args.seed,
-                 device=args.device), cwd=REPO,
+                 device=args.device, model=args.model), cwd=REPO,
         stdout=open(os.path.join(args.workdir, "cut.log"), "w"),
         stderr=subprocess.STDOUT)
-    csv = os.path.join(out, "cut.csv")
+    csv = os.path.join(out, "cut.t0.csv" if args.model == "mt"
+                       else "cut.csv")
     while proc.poll() is None:
         if last_csv_iter(csv) >= args.kill_at:
             os.kill(proc.pid, signal.SIGKILL)  # exact pid, hard kill
@@ -152,13 +192,20 @@ def main():
 
     # 3. restart (no --seed: must come from cut.rng.0)
     subprocess.run(cli_args(base, out, "cut", args.iters, restart=True,
-                            device=args.device),
+                            device=args.device, model=args.model),
                    check=True, cwd=REPO,
                    stdout=open(os.path.join(args.workdir, "rs.log"), "w"),
                    stderr=subprocess.STDOUT)
 
-    # 4. bitwise comparison post-restart
-    fb, rb = os.path.join(out, "full"), os.path.join(out, "cut_rs")
+    # 4. bitwise comparison post-restart (per-trait suffixes for mt)
+    suffixes = [".t0", ".t1"] if args.model == "mt" else [""]
+    for sfx in suffixes:
+        _compare(out, args, sfx)
+
+
+def _compare(out, args, sfx):
+    fb = os.path.join(out, "full" + sfx)
+    rb = os.path.join(out, "cut_rs" + sfx)
     full_rows = {int(r.split(",")[0]): r.strip()
                  for r in open(fb + ".csv").read().strip().split("\n")}
     rs_rows = {int(r.split(",")[0]): r.strip()
@@ -174,10 +221,10 @@ def main():
     rs_cpn = records(rb + ".cpn", np.int32, args.m)
     bad = [it for it in rs_cpn if rs_cpn[it] != full_cpn.get(it)]
     assert not bad, f".cpn records differ post-restart: {bad[:5]}"
-    print(f"# SOAK PASS: {len(rs_rows)} csv rows + {len(rs_bet)} .bet + "
-          f"{len(rs_cpn)} .cpn records bitwise-identical to the "
-          f"uninterrupted run after a SIGKILL at ~{args.kill_at}/"
-          f"{args.iters}", flush=True)
+    print(f"# SOAK PASS [{args.model}{sfx}]: {len(rs_rows)} csv rows + "
+          f"{len(rs_bet)} .bet + {len(rs_cpn)} .cpn records "
+          f"bitwise-identical to the uninterrupted run after a SIGKILL at "
+          f"~{args.kill_at}/{args.iters}", flush=True)
 
 
 if __name__ == "__main__":
