@@ -333,10 +333,9 @@ def sweep_stale_sd(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
 
 
 def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC, stub,
-                        pk_ref, mrow_ref, mrec_ref, mcol_ref, eps_in_ref,
-                        mask_ref, sc_ref,
-                        out_ref, eps_ref, s1_s, s2_s, gram_s, c_s, v_s,
-                        num_s):
+                        pk_ref, mrow_ref, mcol_ref, eps_in_ref, mask_ref,
+                        sc_ref,
+                        out_ref, eps_ref, s1_s, s2_s, gram_s, c_s, v_s):
     """Whole-sweep EXACT-mode kernel: per window, phase 0 accumulates
     s1/s2 AND the window Gram over byte tiles, then runs the W-step
     sequential recurrence (the window_gibbs one-hot loop) in VMEM; phase 1
@@ -441,64 +440,90 @@ def _sweep_exact_kernel(K: int, n_tiles: int, complete: bool, PREC, stub,
                 gram_s[:, :] = (mcol_ref[:, 1:2] * mstd) * (
                     gram_s[:, :] - mcol_ref[:, 0:1] * v_r
                     - v_s[:, :] * mave + n_real * (mcol_ref[:, 0:1] * mave))
-                s2v_c = s2_s[0:1, 0:1]              # scalar-ish (1, 1)
+                s2v = s2_s[0:1, 0:1]
             else:
-                s2v_c = s2_s[:, :]                   # (W, 1) sublane-major
-            # num0 built SUBLANE-major (mcol/s1 already are): the serial
-            # loop then reads marker j's prior with ONE (1,1) dynamic-
-            # sublane load instead of a onehot multiply + lane reduce
-            num_s[:, :] = (mcol_ref[:, 1:2]
-                           * (s1_s[:, :] - mcol_ref[:, 0:1] * s2v_c)
-                           + mrec_ref[:, 2:3] * dNm1)
+                s2v = jnp.transpose(s2_s[:, :])
+            num0 = (mstd * (jnp.transpose(s1_s[:, :]) - mave * s2v)
+                    + bold * dNm1)                      # (1, W)
             out_ref[:, :] = jnp.zeros_like(out_ref)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
             bl, bi, bs = N_FIXED, N_FIXED + K, N_FIXED + 2 * K - 1
 
-            def step(j, _):
-                # marker j's mixture row: one dynamic-SUBLANE load (the
-                # lane-major (c_pad, W) extraction cost a (16, W) multiply
-                # + lane reduce per step — the old recurrence's main cost)
-                row = mrec_ref[pl.ds(j, 1), :]           # (1, C lanes)
-                grow = gram_s[pl.ds(j, 1), :]            # (1, W)
-                corr = jnp.sum(grow * out_ref[3:4, :])
-                num = num_s[pl.ds(j, 1), 0:1][0, 0] + corr
-
-                muk_v = num * row[:, bi:bi + km1]        # (1, km1)
-                logl_v = (row[:, bl + 1:bl + 1 + km1]
-                          + muk_v * num * i2se)
-                logl0 = row[0, bl]
-                mx = jnp.maximum(jnp.max(logl_v), logl0)
-                prs_v = jnp.exp(jnp.maximum(logl_v - mx, -60.0))
-                pr0 = jnp.exp(jnp.maximum(logl0 - mx, -60.0))
-                s = pr0 + jnp.sum(prs_v)
-                u_s = row[0, 3] * s                      # R_U = mrow row 3
-                cum = pr0
-                comp = jnp.int32(0)
-                for k in range(km1):
-                    comp = comp + jnp.where(u_s > cum, 1, 0)
-                    cum = cum + prs_v[0, k]
-                comp = jnp.minimum(comp, km1)
-                ksel = jnp.maximum(comp - 1, 0)
-                mu_sel = f32(0.0)
-                sd_sel = f32(0.0)
-                for k in range(km1):
-                    mu_sel = jnp.where(ksel == k, muk_v[0, k], mu_sel)
-                    sd_sel = jnp.where(ksel == k, row[0, bs + k], sd_sel)
-                act = row[0, 5] > 0                      # R_ACT = row 5
-                beta_new = jnp.where((comp > 0) & act,
-                                     mu_sel + row[0, 4] * sd_sel, 0.0)
-                comp = jnp.where(act, comp, 0)
-                acum0 = jnp.where(act, pr0 / s, 1.0)
-                dbeta_j = row[0, 2] - beta_new           # R_BOLD = row 2
+            def step(j, carry):
+                # the four result rows ride the loop CARRY (vector
+                # registers): the serial chain is db -> reduce -> draw ->
+                # db, and a VMEM round-trip per step (the old
+                # out_ref[3:4] RMW) adds store->load latency to every
+                # link of that chain
+                b_row, c_row, a_row, db_row = carry
+                # marker j's prior + Gram correction: ONE fused lane reduce
                 onehot = (lanes == j).astype(f32)        # (1, W)
-                out_ref[0:1, :] += beta_new * onehot
-                out_ref[1:2, :] += comp.astype(f32) * onehot
-                out_ref[2:3, :] += acum0 * onehot
-                out_ref[3:4, :] += dbeta_j * onehot
-                return 0
+                if stub == "recur_nogram":   # profiling: dynamic-load cost
+                    grow = num0
+                else:
+                    grow = gram_s[pl.ds(j, 1), :]        # (1, W)
+                num = jnp.sum(num0 * onehot + grow * db_row)
+                if stub == "recur_min":      # profiling: serial-floor loop
+                    return (b_row, c_row, a_row, db_row + num * onehot)
+
+                # the draw is VECTORIZED over all W lanes (every quantity a
+                # static (1, W) row view of mrow_ref with marker j's scalar
+                # `num` broadcast; only lane j survives the onehot
+                # accumulate). Lanes are free on the VPU — this replaces
+                # the old per-step column extraction ((c_pad, W) multiply +
+                # lane reduce) and its ~25-op scalar chain (scalar
+                # transcendentals + vector-extract moves) with pure row
+                # ops. A sublane-major rewrite (dynamic (1, C) row loads
+                # per step) measured 2.3x SLOWER — dynamic sublane slicing
+                # is expensive in Mosaic; onehot select is the idiom.
+                logl0 = mrow_ref[bl:bl + 1, :]
+                mx = logl0
+                muks, logls = [], []
+                for k in range(km1):
+                    mu_k = num * mrow_ref[bi + k:bi + k + 1, :]
+                    muks.append(mu_k)
+                    l = mrow_ref[bl + 1 + k:bl + 2 + k, :] + mu_k * num * i2se
+                    logls.append(l)
+                    mx = jnp.maximum(mx, l)
+                _e = (lambda x: x) if stub == "recur_noexp" else jnp.exp
+                pr0 = _e(jnp.maximum(logl0 - mx, -60.0))
+                s = pr0
+                prs = []
+                for l in logls:
+                    pk_ = _e(jnp.maximum(l - mx, -60.0))
+                    prs.append(pk_)
+                    s = s + pk_
+                u_s = mrow_ref[3:4, :] * s               # R_U = mrow row 3
+                cum = pr0
+                compf = jnp.zeros_like(u_s)
+                for k in range(km1):
+                    compf = compf + jnp.where(u_s > cum, 1.0, 0.0)
+                    cum = cum + prs[k]
+                mu_sel = jnp.zeros_like(u_s)
+                sd_sel = jnp.zeros_like(u_s)
+                for k in range(km1):
+                    selk = jnp.where(compf == float(k + 1), 1.0, 0.0)
+                    mu_sel = mu_sel + selk * muks[k]
+                    sd_sel = sd_sel + selk * mrow_ref[bs + k:bs + k + 1, :]
+                act = mrow_ref[5:6, :]                   # R_ACT = row 5
+                pos = jnp.where(compf > 0.0, 1.0, 0.0)
+                beta_new = pos * act * (mu_sel + mrow_ref[4:5, :] * sd_sel)
+                compf = compf * act
+                acum0 = (pr0 / s) * act + (1.0 - act)
+                dbeta_j = mrow_ref[2:3, :] - beta_new    # R_BOLD = row 2
+                return (b_row + beta_new * onehot,
+                        c_row + compf * onehot,
+                        a_row + acum0 * onehot,
+                        db_row + dbeta_j * onehot)
 
             if stub not in ("no_recur",):
-                jax.lax.fori_loop(0, W, step, 0)
+                z = jnp.zeros((1, W), f32)
+                b_row, c_row, a_row, db_row = jax.lax.fori_loop(
+                    0, W, step, (z, z, z, z))
+                out_ref[0:1, :] = b_row
+                out_ref[1:2, :] = c_row
+                out_ref[2:3, :] = a_row
+                out_ref[3:4, :] = db_row
 
             c1 = out_ref[3:4, :] * mstd
             c2 = -c1 * mave
@@ -580,11 +605,6 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     mrow_t = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
     mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
     mrow_t = mrow_t.reshape(n_windows * c_pad, W)
-    # sublane-major copy for the serial recurrence: marker rows along
-    # sublanes, mixture columns along (128-padded) lanes — one dynamic
-    # sublane load per step instead of a onehot extraction
-    assert C <= 128, C
-    mrow_rec = jnp.pad(mrow, ((0, 0), (0, 128 - C)))
     eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
     if complete:
         mask_t = ind_mask4.reshape(4, n_tiles, tb).transpose(1, 0, 2)
@@ -614,7 +634,6 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
         in_specs=[
             pl.BlockSpec((W, tb), pk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((c_pad, W), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, 128), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 2), row_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 4, tb), lambda w, p, t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -634,18 +653,17 @@ def sweep_exact(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
             pltpu.VMEM((W, W), f32),    # window Gram
             pltpu.VMEM((4, W), f32),    # axpy coeff rows
             pltpu.VMEM((W, 1), f32),    # v = sum(g) (complete mode)
-            pltpu.VMEM((W, 1), f32),    # num0 (sublane-major prior row)
         ],
     )
     kern = functools.partial(_sweep_exact_kernel, n_mix, n_tiles, complete,
                              jax.lax.Precision.HIGHEST if interpret else None,
                              stub)
     if win_perm is None:
-        operands = (pk_shuf, mrow_t, mrow_rec, mcol, eps_t, mask_t, sc)
+        operands = (pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
         body = kern
     else:
         operands = (jnp.asarray(win_perm, jnp.int32),
-                    pk_shuf, mrow_t, mrow_rec, mcol, eps_t, mask_t, sc)
+                    pk_shuf, mrow_t, mcol, eps_t, mask_t, sc)
         body = lambda wp_ref, *refs: kern(*refs)              # noqa: E731
     out, eps_out = pl.pallas_call(
         body,
@@ -865,11 +883,6 @@ def sweep_stale(pk_shuf: jax.Array, eps_d: jax.Array, mrow: jax.Array,
     mrow_t = jnp.transpose(mrow.reshape(n_windows, W, C), (0, 2, 1))
     mrow_t = jnp.pad(mrow_t, ((0, 0), (0, c_pad - C), (0, 0)))
     mrow_t = mrow_t.reshape(n_windows * c_pad, W)
-    # sublane-major copy for the serial recurrence: marker rows along
-    # sublanes, mixture columns along (128-padded) lanes — one dynamic
-    # sublane load per step instead of a onehot extraction
-    assert C <= 128, C
-    mrow_rec = jnp.pad(mrow, ((0, 0), (0, 128 - C)))
     eps_t = eps_d.reshape(4, n_tiles, tb).transpose(1, 0, 2)  # (nt, 4, tb)
     if complete:
         mask_t = ind_mask4.reshape(4, n_tiles, tb).transpose(1, 0, 2)

@@ -405,60 +405,67 @@ def _sweep_exact_mt_kernel(K: int, T: int, n_tiles: int, O_PAD: int, PREC,
             lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
             bl, bi, bs = (6 * T, (6 + K) * T, (6 + 2 * K - 1) * T)
 
-            def _mt_step(j, onehot):
-                def colv(rows):
-                    return jnp.sum(rows * onehot, axis=1, keepdims=True)
-
+            def _mt_step(j, carry):
+                # lane-vectorized draw with loop-carried result rows (see
+                # sweep_kernel.py _sweep_exact_kernel: the per-step colv
+                # extractions were the recurrence's dominant cost; every
+                # quantity is now a static (T, W) row view with marker j's
+                # (T, 1) `num` broadcast, and only lane j survives the
+                # onehot accumulate)
+                b_row, c_row, a_row, db_row = carry          # (T, W)
+                onehot = (lanes == j).astype(f32)            # (1, W)
                 grow = gram_s[pl.ds(j, 1), :]                # (1, W)
-                corr = jnp.sum(grow * db_s[:, :], axis=1,
-                               keepdims=True)                # (T, 1)
-                num = colv(num0) + corr
-                logls = [colv(mrow_ref[bl:bl + T, :])]
-                muks, sds = [], []
+                num = jnp.sum(num0 * onehot + grow * db_row,
+                              axis=1, keepdims=True)         # (T, 1)
+                logl0 = mrow_ref[bl:bl + T, :]
+                mx = logl0
+                muks, logls = [], []
                 for k in range(km1):
-                    mu_k = num * colv(mrow_ref[bi + k * T:bi + (k + 1) * T, :])
+                    mu_k = num * mrow_ref[bi + k * T:bi + (k + 1) * T, :]
                     muks.append(mu_k)
-                    sds.append(colv(mrow_ref[bs + k * T:bs + (k + 1) * T, :]))
-                    logls.append(
-                        colv(mrow_ref[bl + (k + 1) * T:bl + (k + 2) * T, :])
-                        + mu_k * num * i2se)
-                mx = logls[0]
-                for k in range(1, K):
-                    mx = jnp.maximum(mx, logls[k])
-                prs = [jnp.exp(jnp.maximum(v - mx, -60.0)) for v in logls]
-                s = prs[0]
-                for k in range(1, K):
-                    s = s + prs[k]
-                u_s = colv(mrow_ref[3 * T:4 * T, :]) * s     # (T, 1)
-                cum = prs[0]
+                    l = (mrow_ref[bl + (k + 1) * T:bl + (k + 2) * T, :]
+                         + mu_k * num * i2se)
+                    logls.append(l)
+                    mx = jnp.maximum(mx, l)
+                pr0 = jnp.exp(jnp.maximum(logl0 - mx, -60.0))
+                s = pr0
+                prs = []
+                for l in logls:
+                    pk_ = jnp.exp(jnp.maximum(l - mx, -60.0))
+                    prs.append(pk_)
+                    s = s + pk_
+                u_s = mrow_ref[3 * T:4 * T, :] * s
+                cum = pr0
                 compf = jnp.zeros_like(u_s)
                 for k in range(km1):
                     compf = compf + jnp.where(u_s > cum, 1.0, 0.0)
-                    cum = cum + prs[k + 1]
+                    cum = cum + prs[k]
                 mu_sel = jnp.zeros_like(u_s)
                 sd_sel = jnp.zeros_like(u_s)
                 for k in range(km1):
-                    ksel = jnp.maximum(compf - 1.0, 0.0)
-                    mu_sel = jnp.where(ksel == float(k), muks[k], mu_sel)
-                    sd_sel = jnp.where(ksel == float(k), sds[k], sd_sel)
-                act = colv(mrow_ref[5 * T:6 * T, :]) > 0
-                beta_new = jnp.where(
-                    (compf > 0) & act,
-                    mu_sel + colv(mrow_ref[4 * T:5 * T, :]) * sd_sel, 0.0)
-                compf = jnp.where(act, compf, 0.0)
-                acum0 = jnp.where(act, prs[0] / s, 1.0)
-                dbeta_j = colv(bold) - beta_new              # (T, 1)
-                out_ref[0:T, :] += beta_new * onehot
-                out_ref[T:2 * T, :] += compf * onehot
-                out_ref[2 * T:3 * T, :] += acum0 * onehot
-                db_s[:, :] += dbeta_j * onehot
-                return 0
+                    selk = jnp.where(compf == float(k + 1), 1.0, 0.0)
+                    mu_sel = mu_sel + selk * muks[k]
+                    sd_sel = sd_sel + selk * mrow_ref[bs + k * T:
+                                                      bs + (k + 1) * T, :]
+                act = mrow_ref[5 * T:6 * T, :]
+                pos = jnp.where(compf > 0.0, 1.0, 0.0)
+                beta_new = pos * act * (mu_sel
+                                        + mrow_ref[4 * T:5 * T, :] * sd_sel)
+                compf = compf * act
+                acum0 = (pr0 / s) * act + (1.0 - act)
+                dbeta_j = bold - beta_new                    # (T, W)
+                return (b_row + beta_new * onehot,
+                        c_row + compf * onehot,
+                        a_row + acum0 * onehot,
+                        db_row + dbeta_j * onehot)
 
-            def fstep(j, _):
-                onehot = (lanes == j).astype(f32)
-                return _mt_step(j, onehot)
-
-            jax.lax.fori_loop(0, W, fstep, 0)
+            zt = jnp.zeros((T, W), f32)
+            b_row, c_row, a_row, db_row = jax.lax.fori_loop(
+                0, W, _mt_step, (zt, zt, zt, zt))
+            out_ref[0:T, :] = b_row
+            out_ref[T:2 * T, :] = c_row
+            out_ref[2 * T:3 * T, :] = a_row
+            db_s[:, :] = db_row
             if O_PAD > 3 * T:
                 out_ref[3 * T:O_PAD, :] = jnp.zeros_like(
                     out_ref[3 * T:O_PAD, :])
