@@ -5,7 +5,13 @@
 # Run this same script on every host of a TPU pod slice, e.g. via
 #   gcloud compute tpus tpu-vm ssh $TPU --worker=all --command "bash run_pod_bayesrrm.sh"
 # jax.distributed autodetects the pod topology; the marker mesh then spans
-# all chips and epsilon deltas psum over ICI.
+# all chips and epsilon deltas psum over ICI. Each host loads ONLY its own
+# marker shards' .bed rows (runner._mp_marker_slice) and only host 0 writes
+# outputs. To validate the exact same multi-process code path WITHOUT a pod:
+#   python scripts/run_multiprocess.py --nprocs 2 --devices-per-proc 4 -- \
+#       --mpibayes bayesMPI ... --det-sync 1
+# (tests/test_multiprocess.py asserts 1x8 == 2x4 == 4x2 bitwise under
+# --det-sync, including a kill-one-process --restart leg.)
 #
 # Strong-scaling reference configuration (UKB-sim): M=14,794,840, N=458,783,
 # chain length 10, sync-rate 5 — set BED=... accordingly.
